@@ -1,0 +1,221 @@
+"""Typed configuration for the whole framework.
+
+The reference spreads ~60 argparse flags across five entry points
+(reference: train_distributed.py:272-354, test.py:216-269, EaBNet.py:820-845,
+GaGNet.py:675-698). Here everything collapses into a few frozen dataclasses
+that serialize to/from JSON, while the array-geometry JSON settings files of
+the reference (dataset/mcse_dataset_settings*.json) remain consumable as-is by
+the data layer (see eabnet_tpu/data/scenes.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+
+def _astuple(x) -> Tuple[int, int]:
+    return tuple(int(v) for v in x)  # type: ignore[return-value]
+
+
+@dataclass(frozen=True)
+class StftConfig:
+    """Signal front-end (reference: train_distributed.py:68-95).
+
+    16 kHz audio, 320-point FFT, 20 ms window, 10 ms hop -> 161 bins,
+    sqrt power compression on the magnitude.
+    """
+
+    sr: int = 16000
+    fft_num: int = 320
+    win_size: float = 0.020   # seconds
+    win_shift: float = 0.010  # seconds
+    compression: float = 0.5  # magnitude exponent (sqrt power compression)
+
+    @property
+    def win_samples(self) -> int:
+        return int(self.win_size * self.sr)
+
+    @property
+    def hop_samples(self) -> int:
+        return int(self.win_shift * self.sr)
+
+    @property
+    def freq_bins(self) -> int:
+        return self.fft_num // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        # center=True framing: reflect-pad fft_num//2 on both sides.
+        return 1 + num_samples // self.hop_samples
+
+
+@dataclass(frozen=True)
+class EaBNetConfig:
+    """EaBNet beamformer hyperparameters (reference: EaBNet.py:10-27)."""
+
+    k1: Tuple[int, int] = (2, 3)
+    k2: Tuple[int, int] = (1, 3)
+    c: int = 64
+    M: int = 9                   # number of microphones
+    embed_dim: int = 64
+    kd1: int = 5
+    cd1: int = 64
+    d_feat: int = 256
+    p: int = 6                   # TCMs per group (dilations 2**0 .. 2**(p-1))
+    q: int = 3                   # number of TCM groups (outputs accumulated)
+    is_causal: bool = True
+    is_u2: bool = True
+    bf_type: str = "lstm"        # "lstm" | "cnn"
+    topo_type: str = "mimo"      # "mimo" | "miso"
+    intra_connect: str = "cat"   # "cat" | "add"
+    norm_type: str = "IN"        # "BN" | "IN" | "cLN"
+    hid_node: int = 64           # LSTM hidden size in the beamforming head
+
+    def __post_init__(self):
+        object.__setattr__(self, "k1", _astuple(self.k1))
+        object.__setattr__(self, "k2", _astuple(self.k2))
+        assert self.bf_type in ("lstm", "cnn")
+        assert self.topo_type in ("mimo", "miso")
+        assert self.intra_connect in ("cat", "add")
+        assert self.norm_type in ("BN", "IN", "cLN")
+
+
+@dataclass(frozen=True)
+class GaGNetConfig:
+    """GaGNet post-filter hyperparameters (reference: GaGNet.py:6-24)."""
+
+    cin: int = 2
+    k1: Tuple[int, int] = (2, 3)
+    k2: Tuple[int, int] = (1, 3)
+    c: int = 64
+    kd1: int = 3
+    cd1: int = 64
+    d_feat: int = 256
+    p: int = 2                   # TCN groups per glance/gaze block
+    q: int = 3                   # number of glance-gaze modules
+    dilas: Tuple[int, ...] = (1, 2, 5, 9)
+    fft_num: int = 320
+    is_u2: bool = True
+    is_causal: bool = True
+    is_squeezed: bool = False
+    acti_type: str = "sigmoid"   # "sigmoid" | "tanh" | "relu"
+    intra_connect: str = "cat"
+    norm_type: str = "IN"        # "BN" | "IN"
+
+    def __post_init__(self):
+        object.__setattr__(self, "k1", _astuple(self.k1))
+        object.__setattr__(self, "k2", _astuple(self.k2))
+        object.__setattr__(self, "dilas", tuple(int(d) for d in self.dilas))
+        assert self.acti_type in ("sigmoid", "tanh", "relu")
+        assert self.norm_type in ("BN", "IN")
+
+    @property
+    def freq_bins(self) -> int:
+        return self.fft_num // 2 + 1
+
+
+@dataclass(frozen=True)
+class ComposedConfig:
+    """EaBNet -> GaGNet composed model (reference: EaBNet.py:127-155)."""
+
+    eabnet: EaBNetConfig = field(default_factory=EaBNetConfig)
+    gagnet: GaGNetConfig = field(default_factory=GaGNetConfig)
+    ref_mic: int = 0
+    freeze_eabnet: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data synthesis / loading configuration.
+
+    `mcse_settings` points at a reference-compatible geometry JSON
+    (reference: dataset/mcse_dataset_settings_v2.json).
+    """
+
+    dataset: str = "mcse"             # "mcse" | "fake"
+    train_set: str = "online"         # "online" | "offline"
+    speech_root: str = ""
+    noise_root: str = ""
+    speech_list: str = ""
+    noise_list: str = ""
+    mcse_settings: str = ""
+    val_set: str = ""                 # dir with clean/ + noisy/ pairs
+    clip_seconds: float = 6.0
+    num_workers: int = 8
+    prefetch: int = 4
+    rir_backend: str = "auto"         # "auto" | "native" | "numpy"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8               # global batch (split across devices)
+    total_epoch: int = 100
+    lr: float = 5e-4
+    grad_clip: float = 1.0
+    wav_len: float = 6.0              # seconds per training utterance
+    saving_interval: float = 1.0      # in epochs-worth of iterations
+    valid_interval: float = 1.0
+    log_every: int = 50
+    checkpoint_dir: str = "checkpoints"
+    exp_root: str = "exp"
+    fixed_seed: bool = False
+    seed: int = 1
+    example_index: Tuple[int, ...] = (0, 10, 20, 30, 40, 50, 60, 70, 80, 90)
+    validate_once_before_train: bool = False
+    compute_dtype: str = "float32"    # "float32" | "bfloat16"
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Top-level experiment config; the analogue of the pickled argparse
+    namespace the reference freezes next to checkpoints
+    (reference: train_distributed.py:360-361, enhance.py:16-18)."""
+
+    model: ComposedConfig = field(default_factory=ComposedConfig)
+    stft: StftConfig = field(default_factory=StftConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ------------------------------------------------------------------ io
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExperimentConfig":
+        return cls(
+            model=ComposedConfig(
+                eabnet=EaBNetConfig(**d["model"]["eabnet"]),
+                gagnet=GaGNetConfig(**d["model"]["gagnet"]),
+                ref_mic=d["model"].get("ref_mic", 0),
+                freeze_eabnet=d["model"].get("freeze_eabnet", False),
+            ),
+            stft=StftConfig(**d.get("stft", {})),
+            data=DataConfig(**d.get("data", {})),
+            train=TrainConfig(
+                **{
+                    k: (tuple(v) if k in ("example_index", "mesh_axes") else v)
+                    for k, v in d.get("train", {}).items()
+                }
+            ),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace that works on any of the frozen configs."""
+    return dataclasses.replace(cfg, **kw)
