@@ -1,0 +1,152 @@
+"""EaBNet — the all-neural causal beamformer, TPU-native.
+
+Architecture parity with the reference (EaBNet.py:9-125): U²Net/UNet encoder
+over (time, freq) with freq-only downsampling -> q accumulated squeezed-TCN
+groups on the flattened bottleneck -> mirrored decoder -> per-TF beamforming
+weights (2-layer LSTM head or pointwise conv) -> complex filter-and-sum over
+microphones.
+
+TPU-native choices:
+- channels-last (B, T, F, C) activations; convs are NHWC/HWIO;
+- the bottleneck (B, T, 256) feeds Dense/1-D-conv TCMs = straight MXU work;
+- the LSTM head batches the B*F frequency lanes into the scan's batch
+  dimension so the recurrence stays matmul-shaped (reference puts B*F=161B
+  lanes through two stacked LSTMs, EaBNet.py:609);
+- the final beamform is a single complex einsum 'btfm,btfm->btf' pair.
+
+I/O (native layout): inpt (B, T, F, M, 2) -> esti (B, T, F, 2).
+The reference-layout output (B, 2, T, F) is `to_reference_layout(esti)`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eabnet_tpu.config import EaBNetConfig
+from eabnet_tpu.nn.blocks import (
+    SqueezedTCNGroup,
+    U2NetDecoder,
+    U2NetEncoder,
+    UNetDecoder,
+    UNetEncoder,
+)
+from eabnet_tpu.nn.lstm import LSTM
+
+
+def to_reference_layout(esti_btf2: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, F, 2) -> (B, 2, T, F), the reference's output contract."""
+    return jnp.transpose(esti_btf2, (0, 3, 1, 2))
+
+
+def from_reference_layout(esti_b2tf: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, T, F) -> (B, T, F, 2)."""
+    return jnp.transpose(esti_b2tf, (0, 2, 3, 1))
+
+
+class LSTMBeamformer(nn.Module):
+    """LSTM beamforming-weight head (reference: EaBNet.py:581-614).
+
+    LayerNorm over the embedding -> fold freq into the lane/batch dim ->
+    two stacked LSTMs over time -> MLP -> (B, T, F, M, 2) complex weights.
+    """
+
+    embed_dim: int
+    M: int
+    hid_node: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, T, F, C)
+        b, t, f, c = x.shape
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # (B, F, T, C) -> (B*F, T, C): every frequency is an independent lane
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * f, t, c)
+        x = LSTM(self.hid_node, name="rnn1")(x)
+        x = LSTM(self.hid_node, name="rnn2")(x)
+        x = nn.Dense(self.hid_node, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(2 * self.M, name="fc2")(x)
+        x = x.reshape(b, f, t, self.M, 2)
+        return jnp.transpose(x, (0, 2, 1, 3, 4))  # (B, T, F, M, 2)
+
+
+def beamform_sum(bf_w: jnp.ndarray, inpt: jnp.ndarray) -> jnp.ndarray:
+    """Complex filter-and-sum over mics (reference: EaBNet.py:114-117).
+
+    bf_w, inpt: (B, T, F, M, 2) -> (B, T, F, 2).
+    One fused complex-multiply/reduce; XLA lowers the einsum pair onto the
+    VPU/MXU without materializing intermediates.
+    """
+    wr, wi = bf_w[..., 0], bf_w[..., 1]
+    xr, xi = inpt[..., 0], inpt[..., 1]
+    esti_r = jnp.sum(wr * xr - wi * xi, axis=-1)
+    esti_i = jnp.sum(wr * xi + wi * xr, axis=-1)
+    return jnp.stack([esti_r, esti_i], axis=-1)
+
+
+class EaBNet(nn.Module):
+    """Embedding-and-Beamforming network (reference: EaBNet.py:9-125)."""
+
+    cfg: EaBNetConfig
+
+    @nn.compact
+    def __call__(self, inpt: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """inpt: (B, T, F, M, 2) -> esti: (B, T, F, 2)."""
+        cfg = self.cfg
+        if inpt.ndim == 4:  # single-mic input
+            inpt = inpt[..., None, :]
+        b, t, f, m, _ = inpt.shape
+
+        # fold (mic, ri) into channels: (B, T, F, 2M), mic-major
+        # (channel = 2*m + ri) — a free reshape in this layout. The reference
+        # folds ri-major (EaBNet.py:96-97); the checkpoint converter permutes
+        # the first conv's input channels accordingly.
+        x = inpt.reshape(b, t, f, m * 2)
+
+        if cfg.is_u2:
+            x, skips = U2NetEncoder(cfg.c, cfg.k1, cfg.k2, cfg.intra_connect,
+                                    cfg.norm_type, name="en")(x, train)
+            de = U2NetDecoder(cfg.embed_dim, cfg.c, cfg.k1, cfg.k2,
+                              cfg.intra_connect, cfg.norm_type, name="de")
+        else:
+            x, skips = UNetEncoder(cfg.c, cfg.k1, cfg.norm_type,
+                                   name="en")(x, train)
+            de = UNetDecoder(cfg.embed_dim, cfg.c, cfg.k1, cfg.norm_type,
+                             name="de")
+
+        # bottleneck: (B, T, F', C) -> (B, T, F'*C) == d_feat
+        f_bottle, c_bottle = x.shape[2], x.shape[3]
+        x = x.reshape(b, t, f_bottle * c_bottle)
+
+        # q accumulated squeezed-TCN groups (reference: EaBNet.py:101-105)
+        acc = jnp.zeros_like(x)
+        for i in range(cfg.q):
+            x = SqueezedTCNGroup(
+                cfg.kd1, cfg.cd1, cfg.d_feat,
+                dilations=tuple(2 ** j for j in range(cfg.p)),
+                is_causal=cfg.is_causal, norm_type=cfg.norm_type,
+                twin_gate=True, name=f"stcn_{i}",
+            )(x, train)
+            acc = acc + x
+        x = acc.reshape(b, t, f_bottle, c_bottle)
+
+        x = de(x, skips, train)  # (B, T, F, embed_dim)
+
+        if cfg.topo_type == "mimo":
+            if cfg.bf_type == "lstm":
+                bf_w = LSTMBeamformer(cfg.embed_dim, m, cfg.hid_node,
+                                      name="bf_map")(x)
+            else:  # pointwise conv head (reference: EaBNet.py:79,111-113)
+                w = nn.Dense(2 * m, name="bf_map")(x)  # (B, T, F, 2M)
+                bf_w = w.reshape(b, t, f, m, 2)
+            return beamform_sum(bf_w, inpt)
+        # miso: 2-channel weights applied to the reference mic 0
+        # (reference: EaBNet.py:118-125)
+        w = nn.Dense(2, name="bf_map")(x)  # (B, T, F, 2)
+        ref = inpt[..., 0, :]
+        wr, wi = w[..., 0], w[..., 1]
+        xr, xi = ref[..., 0], ref[..., 1]
+        esti_r = wr * xr - wi * xi
+        esti_i = wr * xi + wi * xr
+        return jnp.stack([esti_r, esti_i], axis=-1)

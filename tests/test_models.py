@@ -1,0 +1,106 @@
+"""Model-level smoke tests: parameter counts and I/O shapes.
+
+Parameter counts are hard parity anchors measured from the reference
+(BASELINE.md: EaBNet 2,838,610 / GaGNet 5,950,697 trainable params).
+The I/O shape contract mirrors the recorded reference trace
+[4,601,161,9,2] -> [4,2,601,161] (EaBNet.py:810-813), modulo this
+framework's native time-major layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eabnet_tpu.config import ComposedConfig, EaBNetConfig, GaGNetConfig
+from eabnet_tpu.models import EaBNet, EaBNetWithPostNet, GaGNet
+from eabnet_tpu.models.eabnet import to_reference_layout
+
+B, T, F, M = 2, 41, 161, 9
+
+
+def n_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.fixture(scope="module")
+def small_input():
+    rng = np.random.default_rng(7)
+    return jnp.asarray(
+        rng.standard_normal((B, T, F, M, 2)).astype(np.float32)
+    )
+
+
+def test_eabnet_param_count_and_shape(small_input):
+    model = EaBNet(EaBNetConfig(M=M))
+    params = model.init(jax.random.key(0), small_input)
+    assert n_params(params) == 2_838_610
+    out = model.apply(params, small_input)
+    assert out.shape == (B, T, F, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    ref_layout = to_reference_layout(out)
+    assert ref_layout.shape == (B, 2, T, F)
+
+
+def test_gagnet_param_count_and_shape(small_input):
+    model = GaGNet(GaGNetConfig())
+    spec = small_input[..., 0, :]
+    params = model.init(jax.random.key(0), spec, spec)
+    assert n_params(params) == 5_950_697
+    outs = model.apply(params, spec, spec)
+    assert len(outs) == 3
+    for o in outs:
+        assert o.shape == (B, T, F, 2)
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_composed_model(small_input):
+    model = EaBNetWithPostNet(ComposedConfig(eabnet=EaBNetConfig(M=M)))
+    params = model.init(jax.random.key(0), small_input)
+    assert n_params(params) == 2_838_610 + 5_950_697
+    out = model.apply(params, small_input)
+    assert out["esti0"].shape == (B, T, F, 2)
+    assert out["esti"].shape == (B, T, F, 2)
+    assert len(out["esti1"]) == 3
+    np.testing.assert_array_equal(
+        np.asarray(out["esti"]), np.asarray(out["esti1"][-1])
+    )
+
+
+def test_eabnet_unet_variant(small_input):
+    model = EaBNet(EaBNetConfig(M=M, is_u2=False))
+    params = model.init(jax.random.key(0), small_input)
+    out = model.apply(params, small_input)
+    assert out.shape == (B, T, F, 2)
+
+
+def test_eabnet_cnn_bf_and_miso(small_input):
+    for kw in ({"bf_type": "cnn"}, {"topo_type": "miso"}):
+        model = EaBNet(EaBNetConfig(M=M, **kw))
+        params = model.init(jax.random.key(0), small_input)
+        out = model.apply(params, small_input)
+        assert out.shape == (B, T, F, 2)
+
+
+def test_eabnet_norm_variants(small_input):
+    for norm in ("BN", "cLN"):
+        model = EaBNet(EaBNetConfig(M=M, norm_type=norm))
+        variables = model.init(jax.random.key(0), small_input)
+        out = model.apply(variables, small_input)
+        assert out.shape == (B, T, F, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_causality_of_eabnet():
+    """Causal model: changing future frames must not affect past outputs."""
+    cfg = EaBNetConfig(M=3, norm_type="cLN")  # cLN is the causal norm
+    rng = np.random.default_rng(3)
+    x1 = rng.standard_normal((1, 30, F, 3, 2)).astype(np.float32)
+    x2 = x1.copy()
+    x2[:, 20:] = rng.standard_normal(x2[:, 20:].shape)
+    model = EaBNet(cfg)
+    params = model.init(jax.random.key(0), jnp.asarray(x1))
+    y1 = np.asarray(model.apply(params, jnp.asarray(x1)))
+    y2 = np.asarray(model.apply(params, jnp.asarray(x2)))
+    np.testing.assert_allclose(y1[:, :20], y2[:, :20], atol=1e-5)
+    assert np.abs(y1[:, 20:] - y2[:, 20:]).max() > 1e-4
