@@ -1,0 +1,96 @@
+"""Checkpointing with the reference's `<iteration>` auto-resume convention.
+
+The reference writes `{model, optimizer, iteration, epoch}` to `<iter>.pth`
+and auto-resumes from the highest-numbered file (reference:
+train_distributed.py:30-65, 190-195). Here checkpoints are msgpack-encoded
+flax pytrees written atomically as `<iter>.ckpt`, alongside the frozen
+`config.json` (the analog of the pickled argparse namespace,
+train_distributed.py:360-361). Reference `.pth` checkpoints are consumed
+transparently via the torch converter.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from eabnet_tpu.config import ExperimentConfig
+
+
+def save_checkpoint(state, epoch: int, directory: str) -> str:
+    """Write state (+epoch) as `<iter>.ckpt` atomically; returns the path."""
+    os.makedirs(directory, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    payload = {
+        "state": jax.device_get(state),
+        "epoch": np.int64(epoch),
+    }
+    data = serialization.to_bytes(payload)
+    path = os.path.join(directory, f"{step}.ckpt")
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Highest-iteration checkpoint in the directory (auto-resume policy of
+    the reference, train_distributed.py:190-195). Also recognizes reference
+    `.pth` files so training can resume *from a torch run*."""
+    best, best_iter = None, -1
+    for path in glob.glob(os.path.join(directory, "*.ckpt")) + glob.glob(
+        os.path.join(directory, "*.pth")
+    ):
+        m = re.match(r"(\d+)\.(ckpt|pth)$", os.path.basename(path))
+        if m and int(m.group(1)) > best_iter:
+            best, best_iter = path, int(m.group(1))
+    return best
+
+
+def load_checkpoint(path: str, state, cfg: ExperimentConfig) -> Tuple:
+    """Restore (state, epoch) from `<iter>.ckpt` or a reference `.pth`.
+
+    For `.pth`: model params come through the torch converter; the optimizer
+    state is reinitialized (torch Adam moments don't map onto optax layout).
+    """
+    if path.endswith(".pth"):
+        from eabnet_tpu.utils.convert_torch import load_torch_checkpoint
+
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        params = load_torch_checkpoint(path, cfg.model)["params"]
+        step = int(ckpt.get("iteration", 0))
+        epoch = int(ckpt.get("epoch", 0))
+        state = state.replace(
+            step=np.asarray(step, np.int32), params=params
+        )
+        return state, epoch
+
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {"state": jax.device_get(state), "epoch": np.int64(0)}
+    payload = serialization.from_bytes(template, data)
+    return payload["state"], int(payload["epoch"])
+
+
+def save_config(cfg: ExperimentConfig, exp_root: str) -> None:
+    os.makedirs(exp_root, exist_ok=True)
+    cfg.save(os.path.join(exp_root, "config.json"))
+
+
+def load_config(exp_root: str) -> ExperimentConfig:
+    return ExperimentConfig.load(os.path.join(exp_root, "config.json"))

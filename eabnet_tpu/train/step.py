@@ -1,0 +1,161 @@
+"""Jitted SPMD train/eval steps.
+
+One fused XLA program per step: STFT featurization -> composed model ->
+losses -> grads -> global-norm clip -> Adam update, compiled once under
+`jax.jit` with NamedShardings (batch sharded over 'data', params
+replicated). XLA SPMD inserts the gradient all-reduce over ICI — the
+TPU-native equivalent of the reference's DDP backward hooks + NCCL
+(reference: train_distributed.py:168,198,228-230; Adam lr 5e-4,
+clip 1.0 at lines 185, 229).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from eabnet_tpu.config import ExperimentConfig
+from eabnet_tpu.dsp import prepare_data
+from eabnet_tpu.losses import eabnet_with_postnet_loss, frame_mask
+from eabnet_tpu.models import EaBNetWithPostNet, build_model
+from eabnet_tpu.models.eabnet import from_reference_layout
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    # batch_stats is non-empty only for norm_type == "BN"
+    batch_stats: Any = struct.field(default_factory=dict)
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def create_train_state(cfg: ExperimentConfig, rng: jax.Array) -> Tuple:
+    """Initialize model + optimizer. Returns (model, state)."""
+    model = build_model(cfg.model)
+    t = cfg.stft.num_frames(int(cfg.train.wav_len * cfg.stft.sr))
+    dummy = jnp.zeros(
+        (1, t, cfg.stft.freq_bins, cfg.model.eabnet.M, 2), jnp.float32
+    )
+    variables = model.init(rng, dummy)
+    params = variables["params"]
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    return model, state
+
+
+def _freeze_mask(params, frozen_top_level: str):
+    """Pytree of 0/1 multipliers zeroing grads under one top-level module
+    (the reference's freeze_eabnet, EaBNet.py:150-155)."""
+    return {
+        k: jax.tree.map(lambda _: 0.0 if k == frozen_top_level else 1.0, v)
+        for k, v in params.items()
+    }
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    model: Optional[EaBNetWithPostNet] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, noisy_wav (B,M,N),
+    target_wav (B,N)) -> (state, loss dict)."""
+    model = model or build_model(cfg.model)
+    tx = make_optimizer(cfg)
+    has_bn = (
+        cfg.model.eabnet.norm_type == "BN"
+        or cfg.model.gagnet.norm_type == "BN"
+    )
+    compute_dtype = (
+        jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16"
+        else jnp.float32
+    )
+
+    def loss_fn(params, batch_stats, noisy_wav, target_wav):
+        noisy_stft, target_stft = prepare_data(noisy_wav, target_wav,
+                                               cfg.stft)
+        target = from_reference_layout(target_stft)
+        noisy_stft = noisy_stft.astype(compute_dtype)
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            out, mutated = model.apply(
+                variables, noisy_stft, train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            out = model.apply(variables, noisy_stft, train=True)
+            new_stats = batch_stats
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        mask = frame_mask(
+            jnp.full((noisy_stft.shape[0],), noisy_stft.shape[1]),
+            noisy_stft.shape[1],
+        )
+        losses = eabnet_with_postnet_loss(out, target, mask)
+        return losses["final"], (losses, new_stats)
+
+    def train_step(state: TrainState, noisy_wav, target_wav):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, noisy_wav, target_wav
+        )
+        if cfg.model.freeze_eabnet:
+            mask = _freeze_mask(state.params, "eabnet")
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            batch_stats=new_stats,
+        )
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: ExperimentConfig,
+                   model: Optional[EaBNetWithPostNet] = None) -> Callable:
+    """Jitted eval step: (state, noisy_wav, target_wav) ->
+    (loss dict, esti_stft (B,T,F,2))."""
+    model = model or build_model(cfg.model)
+    has_bn = (
+        cfg.model.eabnet.norm_type == "BN"
+        or cfg.model.gagnet.norm_type == "BN"
+    )
+
+    @jax.jit
+    def eval_step(state: TrainState, noisy_wav, target_wav):
+        noisy_stft, target_stft = prepare_data(noisy_wav, target_wav,
+                                               cfg.stft)
+        target = from_reference_layout(target_stft)
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, noisy_stft, train=False)
+        mask = frame_mask(
+            jnp.full((noisy_stft.shape[0],), noisy_stft.shape[1]),
+            noisy_stft.shape[1],
+        )
+        losses = eabnet_with_postnet_loss(out, target, mask)
+        return losses, out["esti"]
+
+    return eval_step

@@ -1,0 +1,173 @@
+"""Multi-device training-step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eabnet_tpu.config import (
+    ComposedConfig,
+    EaBNetConfig,
+    ExperimentConfig,
+    GaGNetConfig,
+    TrainConfig,
+)
+from eabnet_tpu.parallel import data_sharding, make_mesh, replicate
+from eabnet_tpu.train import (
+    create_train_state,
+    latest_checkpoint,
+    load_checkpoint,
+    make_eval_step,
+    make_train_step,
+    save_checkpoint,
+)
+
+
+def small_cfg(**train_kw):
+    return ExperimentConfig(
+        model=ComposedConfig(
+            eabnet=EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1),
+            gagnet=GaGNetConfig(c=8, cd1=8, p=1, q=1, dilas=(1, 2)),
+        ),
+        train=TrainConfig(batch_size=8, wav_len=0.2, **train_kw),
+    )
+
+
+def make_batch(cfg, b=None):
+    rng = np.random.default_rng(0)
+    n = int(cfg.train.wav_len * cfg.stft.sr)
+    b = b or cfg.train.batch_size
+    m = cfg.model.eabnet.M
+    return (
+        (rng.standard_normal((b, m, n)) * 0.1).astype(np.float32),
+        (rng.standard_normal((b, n)) * 0.1).astype(np.float32),
+    )
+
+
+def test_train_step_decreases_loss_on_8_devices():
+    cfg = small_cfg()
+    mesh = make_mesh(("data",))
+    assert mesh.size == 8
+    model, state = create_train_state(cfg, jax.random.key(0))
+    state = jax.device_put(state, replicate(mesh))
+    noisy, target = make_batch(cfg)
+    noisy = jax.device_put(noisy, data_sharding(mesh))
+    target = jax.device_put(target, data_sharding(mesh))
+
+    step = make_train_step(cfg, model, donate=False)
+    losses = []
+    for _ in range(5):
+        state, l = step(state, noisy, target)
+        losses.append(float(l["final"]))
+    assert int(state.step) == 5
+    assert losses[-1] < losses[0], losses
+    for k in ("eabnet", "postnet", "final"):
+        assert np.isfinite(losses[-1]), k
+
+
+def test_sharded_matches_single_device():
+    """Data-parallel loss and gradients must match single-device execution
+    up to all-reduce summation-order noise. (Post-Adam parameters are NOT
+    compared: the first Adam step is ~sign(grad)*lr, so coordinates with
+    near-zero gradients amplify 1e-7 reduction-order noise into sign
+    flips — inherent to data-parallel Adam, not a sharding bug.)"""
+    import eabnet_tpu.dsp as dsp
+    from eabnet_tpu.losses import eabnet_with_postnet_loss, frame_mask
+    from eabnet_tpu.models.eabnet import from_reference_layout
+
+    cfg = small_cfg()
+    noisy, target = make_batch(cfg)
+    model, state0 = create_train_state(cfg, jax.random.key(0))
+
+    def loss_fn(params, noisy_wav, target_wav):
+        noisy_stft, target_stft = dsp.prepare_data(
+            noisy_wav, target_wav, cfg.stft
+        )
+        out = model.apply({"params": params}, noisy_stft, train=True)
+        mask = frame_mask(
+            jnp.full((noisy_stft.shape[0],), noisy_stft.shape[1]),
+            noisy_stft.shape[1],
+        )
+        return eabnet_with_postnet_loss(
+            out, from_reference_layout(target_stft), mask
+        )["final"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    l1, g1 = grad_fn(state0.params, jnp.asarray(noisy), jnp.asarray(target))
+
+    mesh = make_mesh(("data",))
+    p8 = jax.device_put(state0.params, replicate(mesh))
+    n8 = jax.device_put(noisy, data_sharding(mesh))
+    t8 = jax.device_put(target, data_sharding(mesh))
+    l8, g8 = grad_fn(p8, n8, t8)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(jax.device_get(g8))):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
+
+
+def test_checkpoint_roundtrip_and_autoresume(tmp_path):
+    cfg = small_cfg()
+    model, state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, model, donate=False)
+    noisy, target = make_batch(cfg)
+    state, _ = step(state, jnp.asarray(noisy), jnp.asarray(target))
+
+    d = str(tmp_path)
+    save_checkpoint(state, epoch=3, directory=d)
+    # an older checkpoint should be ignored by auto-resume
+    older = state.replace(step=jnp.zeros((), jnp.int32))
+    save_checkpoint(older, epoch=0, directory=d)
+    path = latest_checkpoint(d)
+    assert path.endswith("1.ckpt")
+
+    _, fresh = create_train_state(cfg, jax.random.key(1))
+    restored, epoch = load_checkpoint(path, fresh, cfg)
+    assert epoch == 3
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step():
+    cfg = small_cfg()
+    model, state = create_train_state(cfg, jax.random.key(0))
+    eval_step = make_eval_step(cfg, model)
+    noisy, target = make_batch(cfg, b=2)
+    losses, esti = eval_step(state, jnp.asarray(noisy), jnp.asarray(target))
+    t = cfg.stft.num_frames(noisy.shape[-1])
+    assert esti.shape == (2, t, cfg.stft.freq_bins, 2)
+    assert np.isfinite(float(losses["final"]))
+
+
+def test_freeze_eabnet():
+    cfg = small_cfg()
+    cfg = ExperimentConfig(
+        model=ComposedConfig(
+            eabnet=cfg.model.eabnet,
+            gagnet=cfg.model.gagnet,
+            freeze_eabnet=True,
+        ),
+        train=cfg.train,
+    )
+    model, state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, model, donate=False)
+    noisy, target = make_batch(cfg)
+    new_state, _ = step(state, jnp.asarray(noisy), jnp.asarray(target))
+    # eabnet params unchanged, postnet params changed
+    for a, b in zip(
+        jax.tree.leaves(state.params["eabnet"]),
+        jax.tree.leaves(new_state.params["eabnet"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    changed = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(
+            jax.tree.leaves(state.params["postnet"]),
+            jax.tree.leaves(new_state.params["postnet"]),
+        )
+    )
+    assert changed
