@@ -1,0 +1,308 @@
+"""Datasets and the host-side batch loader.
+
+Covers the reference's data layer (dataset/mcse_dataset.py, custom fake
+generators in dataset/utility_functions.py:363-420):
+
+- :class:`OnlineMcseDataset` — per-item on-the-fly synthesis: sample a scene,
+  crop/resample speech + noises, SNR-mix, propagate through the room
+  (noisy at the array, anechoic clean at the ref mic);
+- :class:`OfflineMcseDataset` — paired clean/ + noisy/ wav directories;
+- :class:`FakeDataset` — seeded random waveforms so the full pipeline runs
+  without any data on disk (tests, smoke training);
+- :class:`BatchLoader` — process-pool synthesis with prefetch, the analog of
+  the reference's DataLoader workers (train_distributed.py:203), with
+  explicit per-item seeding (epoch, index) so every batch is reproducible
+  regardless of worker scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from eabnet_tpu.config import DataConfig
+from eabnet_tpu.data.mixer import mix_at_snr
+from eabnet_tpu.data.rir import simulate_scene
+from eabnet_tpu.data.scenes import load_settings, sample_scene
+from eabnet_tpu.utils.audio_io import read_wav, resample
+
+
+def load_and_crop(
+    path: str,
+    target_fs: int,
+    crop_seconds: Optional[float],
+    rng: np.random.Generator,
+    start_seconds: Optional[float] = None,
+) -> np.ndarray:
+    """Load mono audio, random-crop (pad if short), resample
+    (reference: dataset/mcse_dataset.py:32-49)."""
+    fs, audio = read_wav(path)
+    if audio.ndim > 1:
+        audio = audio[0]
+    if crop_seconds is None:
+        n = len(audio)
+    else:
+        n = round(fs * crop_seconds)
+    if len(audio) < n:
+        audio = np.pad(audio, (0, n - len(audio)))
+    if start_seconds is None:
+        start = int(rng.integers(0, len(audio) - n + 1))
+    else:
+        start = int(start_seconds * fs)
+    audio = audio[start : start + n]
+    if fs != target_fs:
+        audio = resample(audio, fs, target_fs)
+    return audio.astype(np.float32)
+
+
+def synthesize_item(
+    opt: Dict,
+    clip_seconds: Optional[float],
+    speech_path: str,
+    noise_paths: Sequence[str],
+    seed: int,
+    specific: Optional[Dict] = None,
+    speech_start_sec: Optional[float] = None,
+    noise_start_sec: Optional[float] = None,
+    rir_backend: str = "auto",
+    return_meta: bool = False,
+):
+    """Synthesize one (noisy (M, N), clean (N,)) training pair.
+
+    The full online-synthesis path of the reference
+    (generate_random_noisy_for_speech, dataset/mcse_dataset.py:52-260):
+    geometry -> audio crops -> SNR/dBFS scaling of the *dry* signals ->
+    room propagation -> target = anechoic clean at the ref mic.
+    """
+    rng = np.random.default_rng(seed)
+    specific = dict(specific or {})
+    fs = int(opt["audio"]["fs"])
+
+    # choose noises first so the scene knows how many sources it needs
+    names = specific.get("noise_name_list")
+    if names is None:
+        lo, hi = opt["noise"]["n"]
+        k = int(rng.integers(lo, hi + 1))
+        names = [
+            noise_paths[int(i)]
+            for i in rng.integers(0, len(noise_paths), size=k)
+        ]
+    scene = sample_scene(
+        opt, rng, n_noises_override=len(names), specific=specific
+    )
+    scene.noise_names = [os.path.basename(n) for n in names]
+    scene.speech_name = os.path.basename(speech_path)
+
+    clean = load_and_crop(speech_path, fs, clip_seconds, rng,
+                          speech_start_sec)
+    noises = [
+        load_and_crop(p, fs, clip_seconds if clip_seconds else
+                      len(clean) / fs, rng, noise_start_sec)
+        for p in names
+    ]
+
+    clean_dry, noises_dry = mix_at_snr(
+        clean, noises, scene.snrs_db, scene.dbfs, fs
+    )
+    noisy, clean_ref = simulate_scene(
+        scene.room_dim, scene.e_absorption, scene.max_order,
+        scene.rir_method, fs, scene.ref_mic, scene.p_mics, scene.p_target,
+        scene.p_noises, clean_dry, noises_dry, rt60=scene.rt60, rng=rng,
+        backend=rir_backend,
+    )
+    if return_meta:
+        return noisy, clean_ref, scene.meta()
+    return noisy, clean_ref
+
+
+class OnlineMcseDataset:
+    """On-the-fly multichannel scene synthesis
+    (reference: McseDatasetOnline, mcse_dataset.py:262-289)."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 0):
+        self.opt = load_settings(cfg.mcse_settings)
+        self.speech_root = cfg.speech_root
+        self.noise_root = cfg.noise_root
+        self.speech_list = _read_list(cfg.speech_list)
+        self.noise_list = _read_list(cfg.noise_list)
+        self.clip_seconds = cfg.clip_seconds
+        self.seed = seed
+        self.rir_backend = cfg.rir_backend
+
+    def __len__(self) -> int:
+        return len(self.speech_list)
+
+    def item_args(self, index: int, epoch: int = 0):
+        """Pure-data description of item ``index`` (picklable for workers)."""
+        return dict(
+            opt=self.opt,
+            clip_seconds=self.clip_seconds,
+            speech_path=os.path.join(
+                self.speech_root, self.speech_list[index % len(self)]
+            ),
+            noise_paths=[
+                os.path.join(self.noise_root, n) for n in self.noise_list
+            ],
+            seed=(self.seed * 1_000_003 + epoch * 7_919 + index) & 0x7FFFFFFF,
+            rir_backend=self.rir_backend,
+        )
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        return synthesize_item(**self.item_args(index))
+
+
+class OfflineMcseDataset:
+    """Paired clean/ + noisy/ wav directories
+    (reference: McseDatasetOffline, mcse_dataset.py:292-309)."""
+
+    def __init__(self, root: str):
+        self.clean_root = os.path.join(root, "clean")
+        self.noisy_root = os.path.join(root, "noisy")
+        self.names = sorted(os.listdir(self.clean_root))
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        name = self.names[index]
+        _, clean = read_wav(os.path.join(self.clean_root, name))
+        _, noisy = read_wav(os.path.join(self.noisy_root, name))
+        if clean.ndim > 1:
+            clean = clean[0]
+        return np.atleast_2d(noisy), clean
+
+
+class FakeDataset:
+    """Seeded random waveforms shaped like real items — lets every layer
+    above the data synth run with zero data on disk (the reference's
+    fake-data fixtures, dataset/utility_functions.py:363-420)."""
+
+    def __init__(self, n_items: int = 64, mics: int = 9,
+                 seconds: float = 6.0, sr: int = 16000, seed: int = 0):
+        self.n_items = n_items
+        self.mics = mics
+        self.n = int(seconds * sr)
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed + index)
+        clean = (rng.standard_normal(self.n) * 0.05).astype(np.float32)
+        noise = (
+            rng.standard_normal((self.mics, self.n)) * 0.02
+        ).astype(np.float32)
+        noisy = clean[None, :] * (
+            0.8 + 0.4 * rng.random((self.mics, 1)).astype(np.float32)
+        ) + noise
+        return noisy.astype(np.float32), clean
+
+
+def _read_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln for ln in f.read().split("\n") if ln.strip()]
+
+
+def _worker_synthesize(args: Dict):
+    return synthesize_item(**args)
+
+
+class BatchLoader:
+    """Multiprocess prefetching batch iterator.
+
+    Synthesis jobs are submitted ahead (``prefetch`` batches deep) to a
+    process pool; per-item seeds are derived from (epoch, index) so results
+    are independent of worker scheduling — reproducibility the reference's
+    global-RNG DataLoader workers can't give.
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 0,
+                 prefetch: int = 4, drop_last: bool = True,
+                 shuffle: bool = True, seed: int = 0,
+                 shard_index: int = 0, shard_count: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._pool = None
+        if num_workers > 0 and hasattr(dataset, "item_args"):
+            self._pool = ProcessPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.shard_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        # contiguous shard per host (DistributedSampler analog)
+        per = n // self.shard_count
+        return idx[self.shard_index * per : (self.shard_index + 1) * per]
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
+        nb = len(self)
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if self._pool is not None:
+            futures = []
+            for b in batches:
+                futures.append([
+                    self._pool.submit(
+                        _worker_synthesize,
+                        self.ds.item_args(int(i), epoch),
+                    )
+                    for i in b
+                ])
+            for fs in futures:
+                yield _collate([f.result() for f in fs])
+        else:
+            for b in batches:
+                yield _collate([self.ds[int(i)] for i in b])
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+
+def _collate(items) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack (noisy (M,N), clean (N,)) pairs, trimming to the shortest."""
+    n = min(it[0].shape[-1] for it in items)
+    noisy = np.stack([it[0][..., :n] for it in items])
+    clean = np.stack([it[1][..., :n] for it in items])
+    return noisy.astype(np.float32), clean.astype(np.float32)
+
+
+def make_dataset(cfg: DataConfig, mics: int = 9, seed: int = 0):
+    """Dataset factory (reference: dataset/__init__.py:2-8) ->
+    (train_ds, val_ds)."""
+    if cfg.dataset == "fake":
+        return (
+            FakeDataset(64, mics, cfg.clip_seconds, seed=seed),
+            FakeDataset(8, mics, cfg.clip_seconds, seed=seed + 10_000),
+        )
+    if cfg.dataset == "mcse":
+        if cfg.train_set == "online":
+            train = OnlineMcseDataset(cfg, seed=seed)
+        else:
+            train = OfflineMcseDataset(cfg.speech_root or cfg.val_set)
+        val = OfflineMcseDataset(cfg.val_set) if cfg.val_set else None
+        return train, val
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
