@@ -1,0 +1,17 @@
+from eabnet_tpu.eval.metrics import (  # noqa: F401
+    si_sdr,
+    si_sdr_components,
+    energy_ratios,
+    snr_db,
+    hp_filter,
+    mean_std,
+    mean_conf_int,
+    MetricAccumulator,
+)
+from eabnet_tpu.eval.stoi import stoi  # noqa: F401
+from eabnet_tpu.eval.pesq import pesq, pesq_available  # noqa: F401
+from eabnet_tpu.eval.harness import (  # noqa: F401
+    cal_single_metrics,
+    evaluate_dataset,
+    write_report,
+)

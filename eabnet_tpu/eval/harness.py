@@ -1,0 +1,97 @@
+"""Batch evaluation harness — the analog of the reference's test.py.
+
+Scores a model over a validation set: forward -> iSTFT -> per-utterance
+metric battery (PESQ wb/nb when available, STOI, ESTOI, SI-SDR/SIR/SAR) ->
+per-file CSV + "metric: mean ± std" txt report
+(reference: test.py:126-153, 155-212).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from eabnet_tpu.eval.metrics import MetricAccumulator, energy_ratios, mean_std
+from eabnet_tpu.eval.pesq import pesq
+from eabnet_tpu.eval.stoi import stoi
+
+METRICS = ("pesq", "nb_pesq", "stoi", "estoi", "si_sdr", "si_sir", "si_sar")
+
+
+def _align(*audios: np.ndarray) -> Tuple[np.ndarray, ...]:
+    """Zero-pad all signals to the longest (reference: test.py:129-137)."""
+    maxlen = max(a.shape[0] for a in audios)
+    out = []
+    for a in audios:
+        if a.shape[0] != maxlen:
+            b = np.zeros((maxlen,) + a.shape[1:], a.dtype)
+            b[: a.shape[0]] = a
+            a = b
+        out.append(a)
+    return tuple(out)
+
+
+def cal_single_metrics(
+    gt: np.ndarray, noisy: np.ndarray, esti: np.ndarray, sr: int = 16000
+) -> Dict[str, Optional[float]]:
+    """Score one utterance (reference: test.py:126-153). ``noisy`` is the
+    reference-mic mixture used to derive the noise component."""
+    gt, noisy, esti = _align(gt, noisy, esti)
+    n = noisy - gt
+    ret: Dict[str, Optional[float]] = {}
+    ret["pesq"] = pesq(sr, gt, esti, "wb")
+    ret["nb_pesq"] = pesq(sr, gt, esti, "nb")
+    ret["stoi"] = stoi(gt, esti, sr, extended=False)
+    ret["estoi"] = stoi(gt, esti, sr, extended=True)
+    sdr, sir, sar = energy_ratios(esti, gt, n)
+    ret["si_sdr"], ret["si_sir"], ret["si_sar"] = sdr, sir, sar
+    return ret
+
+
+def evaluate_dataset(
+    enhance_fn: Callable[[np.ndarray], np.ndarray],
+    items: Iterable[Tuple[np.ndarray, np.ndarray]],
+    sr: int = 16000,
+    names: Optional[Iterable[str]] = None,
+) -> Tuple[MetricAccumulator, list]:
+    """Run ``enhance_fn`` (noisy (M, N) -> esti (N,)) over (noisy, clean)
+    pairs; returns the metric accumulator + per-file rows."""
+    acc = MetricAccumulator(METRICS)
+    rows = []
+    names = list(names) if names is not None else None
+    for i, (noisy, clean) in enumerate(items):
+        esti = np.asarray(enhance_fn(noisy))
+        scores = cal_single_metrics(clean, noisy[0], esti, sr)
+        acc.update(scores)
+        row = {"filename": names[i] if names else f"{i:05d}"}
+        row.update(
+            {k: (np.nan if v is None else v) for k, v in scores.items()}
+        )
+        rows.append(row)
+    return acc, rows
+
+
+def write_report(acc: MetricAccumulator, rows: list, out_prefix: str) -> str:
+    """CSV of per-file scores + `mean ± std` txt summary
+    (reference: test.py:202-212)."""
+    os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
+    csv_path = out_prefix + ".csv"
+    txt_path = out_prefix + ".txt"
+    if rows:
+        keys = list(rows[0].keys())
+        with open(csv_path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for r in rows:
+                f.write(",".join(str(r[k]) for k in keys) + "\n")
+    lines = []
+    for metric, values in acc.metrics.items():
+        vals = np.asarray(values, float)
+        if len(vals) == 0 or np.all(np.isnan(vals)):
+            continue
+        m, s = mean_std(vals)
+        lines.append(f"{metric}: {m:.2f} ± {s:.2f}")
+    with open(txt_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return txt_path
