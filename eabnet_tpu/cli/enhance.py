@@ -1,0 +1,57 @@
+"""Enhancement CLI: `python -m eabnet_tpu.cli.enhance in.wav out.wav
+--exp-root <dir>` (reference: enhance.py + inference.bash).
+
+Accepts a directory of wavs as input for batch mode (replacing the
+reference's inference.bash shell loop)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="offline enhancement")
+    parser.add_argument("input", help="input wav or directory of wavs")
+    parser.add_argument("output", help="output wav or directory")
+    parser.add_argument("--exp-root", required=True,
+                        help="experiment dir with config.json + checkpoint")
+    parser.add_argument("--ckpt", default=None,
+                        help="explicit checkpoint (.ckpt or reference .pth)")
+    parser.add_argument(
+        "--mic-permutation", default=None,
+        help="comma-separated capture-channel order, e.g. 7,0,1,2,3,4,5,6 "
+        "(reference: enhance.py:41-42)",
+    )
+    args = parser.parse_args(argv)
+
+    from eabnet_tpu.cli.common import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+
+    from eabnet_tpu.inference import load_enhancer
+
+    perm = None
+    if args.mic_permutation:
+        perm = [int(x) for x in args.mic_permutation.split(",")]
+
+    enhancer = load_enhancer(args.exp_root, args.ckpt)
+
+    if os.path.isdir(args.input):
+        os.makedirs(args.output, exist_ok=True)
+        names = sorted(
+            n for n in os.listdir(args.input) if n.endswith(".wav")
+        )
+        for name in names:
+            print(f"enhancing {name}")
+            enhancer.enhance_file(
+                os.path.join(args.input, name),
+                os.path.join(args.output, name),
+                mic_permutation=perm,
+            )
+    else:
+        enhancer.enhance_file(args.input, args.output, mic_permutation=perm)
+
+
+if __name__ == "__main__":
+    main()

@@ -300,7 +300,12 @@ def make_dataset(cfg: DataConfig, mics: int = 9, seed: int = 0):
         )
     if cfg.dataset == "mcse":
         if cfg.train_set == "online":
-            train = OnlineMcseDataset(cfg, seed=seed)
+            # eval-only configs may omit the synthesis settings entirely
+            train = (
+                OnlineMcseDataset(cfg, seed=seed)
+                if cfg.mcse_settings
+                else None
+            )
         else:
             train = OfflineMcseDataset(cfg.speech_root or cfg.val_set)
         val = OfflineMcseDataset(cfg.val_set) if cfg.val_set else None

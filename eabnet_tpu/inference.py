@@ -1,0 +1,77 @@
+"""Offline enhancement API (the library behind the enhance CLI).
+
+Loads a frozen experiment (config.json + newest checkpoint — or a reference
+torch .pth) and exposes a jitted wav -> wav enhancer
+(reference: enhance.py:14-63).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eabnet_tpu.config import ExperimentConfig
+from eabnet_tpu.dsp import prepare_data, stft_to_wav
+from eabnet_tpu.models import build_model
+from eabnet_tpu.models.eabnet import to_reference_layout
+from eabnet_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+from eabnet_tpu.train.step import create_train_state
+from eabnet_tpu.utils.audio_io import read_wav, resample, write_wav
+
+
+class Enhancer:
+    """wav (M, N) -> enhanced wav (N,), jit-compiled per input length
+    bucket."""
+
+    def __init__(self, cfg: ExperimentConfig, params):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.params = params
+        self._jitted = jax.jit(self._enhance)
+
+    def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
+        noisy_stft, _ = prepare_data(noisy_wav, None, self.cfg.stft)
+        out = self.model.apply({"params": params}, noisy_stft)
+        return stft_to_wav(to_reference_layout(out["esti"]), self.cfg.stft)
+
+    def __call__(self, noisy: np.ndarray,
+                 mic_permutation: Optional[list] = None) -> np.ndarray:
+        """``noisy`` (M, N) at the model sample rate. ``mic_permutation``
+        reorders capture channels to the array-geometry order (the
+        reference CLI's index_select, enhance.py:41-42)."""
+        if mic_permutation is not None:
+            noisy = noisy[np.asarray(mic_permutation)]
+        wav = self._jitted(self.params, jnp.asarray(noisy)[None])
+        return np.asarray(wav)[0]
+
+    def enhance_file(self, in_path: str, out_path: str,
+                     mic_permutation: Optional[list] = None) -> None:
+        sr, noisy = read_wav(in_path)
+        if noisy.ndim == 1:
+            noisy = noisy[None]
+        if sr != self.cfg.stft.sr:
+            noisy = resample(noisy, sr, self.cfg.stft.sr)
+        out = self(noisy, mic_permutation)
+        write_wav(out_path, self.cfg.stft.sr, out, dtype="float")
+
+
+def load_enhancer(exp_root: str,
+                  checkpoint: Optional[str] = None) -> Enhancer:
+    """Build an Enhancer from an experiment dir (config.json + checkpoints)
+    or an explicit checkpoint path (.ckpt or reference .pth)."""
+    cfg = ExperimentConfig.load(os.path.join(exp_root, "config.json"))
+    _, state = create_train_state(cfg, jax.random.key(0))
+    ckpt = checkpoint or latest_checkpoint(
+        cfg.train.checkpoint_dir
+        if os.path.isabs(cfg.train.checkpoint_dir)
+        else os.path.join(exp_root, os.path.basename(
+            cfg.train.checkpoint_dir))
+    ) or latest_checkpoint(exp_root)
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint found under {exp_root}")
+    state, _ = load_checkpoint(ckpt, state, cfg)
+    return Enhancer(cfg, state.params)
