@@ -102,14 +102,16 @@ class GaGNetConfig:
     is_squeezed: bool = False
     acti_type: str = "sigmoid"   # "sigmoid" | "tanh" | "relu"
     intra_connect: str = "cat"
-    norm_type: str = "IN"        # "BN" | "IN"
+    # the reference GaGNet only offers BN/IN (GaGNet.py:563-590); cLN is a
+    # framework extension enabling exact streaming of the post-filter
+    norm_type: str = "IN"        # "BN" | "IN" | "cLN"
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))
         object.__setattr__(self, "k2", _astuple(self.k2))
         object.__setattr__(self, "dilas", tuple(int(d) for d in self.dilas))
         assert self.acti_type in ("sigmoid", "tanh", "relu")
-        assert self.norm_type in ("BN", "IN")
+        assert self.norm_type in ("BN", "IN", "cLN")
 
     @property
     def freq_bins(self) -> int:

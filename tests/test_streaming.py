@@ -1,0 +1,78 @@
+"""Streaming == offline equivalence (the architecture is strictly causal,
+so frame-by-frame inference with carried state must reproduce the offline
+output exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eabnet_tpu.config import ComposedConfig, EaBNetConfig, GaGNetConfig
+from eabnet_tpu.models import EaBNet, EaBNetWithPostNet
+from eabnet_tpu.streaming import StreamingComposed, StreamingEaBNet
+
+B, T, F, M = 1, 12, 161, 3
+
+
+def _eab_cfg(norm):
+    return EaBNetConfig(c=8, M=M, embed_dim=8, cd1=8, p=2, q=1,
+                        norm_type=norm)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    return jnp.asarray(
+        rng.standard_normal((B, T, F, M, 2)).astype(np.float32) * 0.3
+    )
+
+
+def test_streaming_eabnet_matches_offline_cln(frames):
+    cfg = _eab_cfg("cLN")
+    model = EaBNet(cfg)
+    variables = model.init(jax.random.key(0), frames)
+    offline = np.asarray(model.apply(variables, frames))
+
+    s = StreamingEaBNet(cfg, variables["params"])
+    streamed = np.asarray(s.run(frames))
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_streaming_eabnet_step_by_step(frames):
+    cfg = _eab_cfg("cLN")
+    model = EaBNet(cfg)
+    variables = model.init(jax.random.key(0), frames)
+    offline = np.asarray(model.apply(variables, frames))
+
+    s = StreamingEaBNet(cfg, variables["params"])
+    state = s.init_state(B)
+    step = jax.jit(s.step)
+    outs = []
+    for t in range(T):
+        state, esti = step(state, frames[:, t])
+        outs.append(np.asarray(esti))
+    streamed = np.stack(outs, axis=1)
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_streaming_rejects_instance_norm(frames):
+    cfg = _eab_cfg("IN")
+    with pytest.raises(ValueError, match="cannot stream"):
+        StreamingEaBNet(cfg, {})
+
+
+def test_streaming_composed_matches_offline(frames):
+    cfg = ComposedConfig(
+        eabnet=_eab_cfg("cLN"),
+        gagnet=GaGNetConfig(c=8, cd1=8, p=1, q=1, dilas=(1, 2),
+                            norm_type="cLN"),
+    )
+    model = EaBNetWithPostNet(cfg)
+    variables = model.init(jax.random.key(0), frames)
+    offline = np.asarray(model.apply(variables, frames)["esti"])
+
+    s = StreamingComposed(cfg, variables["params"])
+    streamed = np.asarray(s.run(frames))
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
