@@ -136,7 +136,7 @@ class DataConfig:
     (reference: dataset/mcse_dataset_settings_v2.json).
     """
 
-    dataset: str = "mcse"             # "mcse" | "fake"
+    dataset: str = "mcse"             # "mcse" | "l3das23" | "fake"
     train_set: str = "online"         # "online" | "offline"
     speech_root: str = ""
     noise_root: str = ""
@@ -148,6 +148,13 @@ class DataConfig:
     num_workers: int = 8
     prefetch: int = 4
     rir_backend: str = "auto"         # "auto" | "native" | "numpy"
+    # l3das23 backend (reference: train_distributed.py:322-327)
+    training_predictors_path: str = ""
+    training_target_path: str = ""
+    validation_predictors_path: str = ""
+    validation_target_path: str = ""
+    path_images: str = ""             # audio-visual mode when set
+    path_csv_images: str = ""
 
 
 @dataclass(frozen=True)

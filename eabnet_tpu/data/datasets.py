@@ -310,4 +310,16 @@ def make_dataset(cfg: DataConfig, mics: int = 9, seed: int = 0):
             train = OfflineMcseDataset(cfg.speech_root or cfg.val_set)
         val = OfflineMcseDataset(cfg.val_set) if cfg.val_set else None
         return train, val
+    if cfg.dataset == "l3das23":
+        from eabnet_tpu.data.l3das import L3dasDataset
+
+        train = L3dasDataset(
+            cfg.training_predictors_path, cfg.training_target_path,
+            cfg.path_images or None, cfg.path_csv_images or None,
+        )
+        val = L3dasDataset(
+            cfg.validation_predictors_path, cfg.validation_target_path,
+            cfg.path_images or None, cfg.path_csv_images or None,
+        )
+        return train, val
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
