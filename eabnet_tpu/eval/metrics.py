@@ -61,6 +61,19 @@ def hp_filter(signal: np.ndarray, cut_off: float = 80.0, order: int = 10,
     return sosfilt(sos, signal)
 
 
+def pad_spec_to_multiple(spec: np.ndarray, multiple: int = 64,
+                         axis: int = -1) -> np.ndarray:
+    """Zero-pad the time axis to a frame-count multiple
+    (reference: pad_spec, metrics.py:83-90)."""
+    t = spec.shape[axis]
+    num_pad = (-t) % multiple
+    if num_pad == 0:
+        return spec
+    pad = [(0, 0)] * spec.ndim
+    pad[axis if axis >= 0 else spec.ndim + axis] = (0, num_pad)
+    return np.pad(spec, pad)
+
+
 def mean_std(data: np.ndarray) -> Tuple[float, float]:
     data = np.asarray(data, float)
     data = data[~np.isnan(data)]
