@@ -72,6 +72,7 @@ class EaBNetConfig:
     intra_connect: str = "cat"   # "cat" | "add"
     norm_type: str = "IN"        # "BN" | "IN" | "cLN"
     hid_node: int = 64           # LSTM hidden size in the beamforming head
+    bf_impl: str = "scan"        # "scan" | "pallas" (fused TPU kernel)
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

@@ -20,6 +20,7 @@ The reference-layout output (B, 2, T, F) is `to_reference_layout(esti)`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,7 +32,6 @@ from eabnet_tpu.nn.blocks import (
     UNetDecoder,
     UNetEncoder,
 )
-from eabnet_tpu.nn.lstm import LSTM
 
 
 def to_reference_layout(esti_btf2: jnp.ndarray) -> jnp.ndarray:
@@ -44,31 +44,136 @@ def from_reference_layout(esti_b2tf: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(esti_b2tf, (0, 2, 3, 1))
 
 
+class _LSTMParams(nn.Module):
+    """Declares one LSTM layer's parameters (torch layout/init) and
+    returns them — lets the beamformer head share one parameter tree
+    between the lax.scan path and the fused Pallas kernel."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        h = self.hidden
+        k = 1.0 / float(h) ** 0.5
+
+        def uniform_init(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32,
+                                      minval=-k, maxval=k)
+
+        return {
+            "w_ih": self.param("w_ih", uniform_init, (self.in_dim, 4 * h)),
+            "w_hh": self.param("w_hh", uniform_init, (h, 4 * h)),
+            "b_ih": self.param("b_ih", uniform_init, (4 * h,)),
+            "b_hh": self.param("b_hh", uniform_init, (4 * h,)),
+        }
+
+
+class _DenseParams(nn.Module):
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_dim, self.out_dim)),
+            "bias": self.param("bias", nn.initializers.zeros,
+                               (self.out_dim,)),
+        }
+
+
 class LSTMBeamformer(nn.Module):
     """LSTM beamforming-weight head (reference: EaBNet.py:581-614).
 
     LayerNorm over the embedding -> fold freq into the lane/batch dim ->
     two stacked LSTMs over time -> MLP -> (B, T, F, M, 2) complex weights.
+
+    ``impl='pallas'`` runs the whole sequential section (both LSTM layers +
+    MLP) in one fused Pallas kernel with VMEM-resident weights/state
+    (eabnet_tpu/kernels/lstm_bf.py); ``impl='scan'`` is the portable
+    lax.scan path. Both share one parameter tree.
     """
 
     embed_dim: int
     M: int
     hid_node: int = 64
+    impl: str = "scan"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, T, F, C)
         b, t, f, c = x.shape
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        h = self.hid_node
+        # LayerNorm params under the name "norm" (checkpoint-compatible)
+        ln = _DenseLikeNorm(c, name="norm")()
+        params = {
+            "rnn1": _LSTMParams(c, h, name="rnn1")(),
+            "rnn2": _LSTMParams(h, h, name="rnn2")(),
+            "fc1": _DenseParams(h, h, name="fc1")(),
+            "fc2": _DenseParams(h, 2 * self.M, name="fc2")(),
+        }
+
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-5)
+        x = x * ln["scale"] + ln["bias"]
+
         # (B, F, T, C) -> (B*F, T, C): every frequency is an independent lane
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * f, t, c)
-        x = LSTM(self.hid_node, name="rnn1")(x)
-        x = LSTM(self.hid_node, name="rnn2")(x)
-        x = nn.Dense(self.hid_node, name="fc1")(x)
-        x = nn.relu(x)
-        x = nn.Dense(2 * self.M, name="fc2")(x)
-        x = x.reshape(b, f, t, self.M, 2)
-        return jnp.transpose(x, (0, 2, 1, 3, 4))  # (B, T, F, M, 2)
+
+        if self.impl == "pallas":
+            from eabnet_tpu.kernels.lstm_bf import lstm_bf_pallas
+
+            w = lstm_bf_pallas(params, x)
+        else:
+            w = _scan_head(params, x)
+        w = w.reshape(b, f, t, self.M, 2)
+        return jnp.transpose(w, (0, 2, 1, 3, 4))  # (B, T, F, M, 2)
+
+
+class _DenseLikeNorm(nn.Module):
+    """LayerNorm scale/bias parameters under flax's standard names."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.dim,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.dim,)),
+        }
+
+
+def _scan_head(params, x: jnp.ndarray) -> jnp.ndarray:
+    """lax.scan implementation of the head on the shared param tree.
+
+    Layer-1 input projections are hoisted into one large matmul; the scan
+    body carries only the hidden matmuls + gates.
+    """
+    l, t, c = x.shape
+    p1, p2 = params["rnn1"], params["rnn2"]
+    h = p1["w_hh"].shape[0]
+    xw1 = x @ p1["w_ih"] + (p1["b_ih"] + p1["b_hh"])  # (L, T, 4H)
+    b2 = p2["b_ih"] + p2["b_hh"]
+
+    def gate(gates, c_prev):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = nn.sigmoid(f) * c_prev + nn.sigmoid(i) * jnp.tanh(g)
+        return nn.sigmoid(o) * jnp.tanh(c_new), c_new
+
+    def step(carry, xw_t):
+        h1, c1, h2, c2 = carry
+        h1, c1 = gate(xw_t + h1 @ p1["w_hh"], c1)
+        h2, c2 = gate(h1 @ p2["w_ih"] + b2 + h2 @ p2["w_hh"], c2)
+        return (h1, c1, h2, c2), h2
+
+    zeros = jnp.zeros((l, h), x.dtype)
+    _, ys = jax.lax.scan(step, (zeros, zeros, zeros, zeros),
+                         jnp.transpose(xw1, (1, 0, 2)))
+    ys = jnp.transpose(ys, (1, 0, 2))  # (L, T, H)
+    y = nn.relu(ys @ params["fc1"]["kernel"] + params["fc1"]["bias"])
+    return y @ params["fc2"]["kernel"] + params["fc2"]["bias"]
 
 
 def beamform_sum(bf_w: jnp.ndarray, inpt: jnp.ndarray) -> jnp.ndarray:
@@ -136,7 +241,7 @@ class EaBNet(nn.Module):
         if cfg.topo_type == "mimo":
             if cfg.bf_type == "lstm":
                 bf_w = LSTMBeamformer(cfg.embed_dim, m, cfg.hid_node,
-                                      name="bf_map")(x)
+                                      impl=cfg.bf_impl, name="bf_map")(x)
             else:  # pointwise conv head (reference: EaBNet.py:79,111-113)
                 w = nn.Dense(2 * m, name="bf_map")(x)  # (B, T, F, 2M)
                 bf_w = w.reshape(b, t, f, m, 2)
