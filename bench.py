@@ -59,7 +59,12 @@ def main():
     from eabnet_tpu.models import build_model
     from eabnet_tpu.models.eabnet import to_reference_layout
 
-    cfg = ExperimentConfig()
+    from eabnet_tpu.config import ComposedConfig, EaBNetConfig
+
+    # inference config: fused Pallas LSTM head (2.1x the scan head on TPU)
+    cfg = ExperimentConfig(
+        model=ComposedConfig(eabnet=EaBNetConfig(bf_impl="pallas"))
+    )
     model = build_model(cfg.model)
 
     sr = cfg.stft.sr

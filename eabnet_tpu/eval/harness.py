@@ -13,11 +13,18 @@ from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
-from eabnet_tpu.eval.metrics import MetricAccumulator, energy_ratios, mean_std
+from eabnet_tpu.eval.metrics import (
+    MetricAccumulator,
+    energy_ratios,
+    log_spectral_distance,
+    mean_std,
+    seg_snr,
+)
 from eabnet_tpu.eval.pesq import pesq
 from eabnet_tpu.eval.stoi import stoi
 
-METRICS = ("pesq", "nb_pesq", "stoi", "estoi", "si_sdr", "si_sir", "si_sar")
+METRICS = ("pesq", "nb_pesq", "stoi", "estoi", "si_sdr", "si_sir",
+           "si_sar", "seg_snr", "lsd")
 
 
 def _align(*audios: np.ndarray) -> Tuple[np.ndarray, ...]:
@@ -47,6 +54,8 @@ def cal_single_metrics(
     ret["estoi"] = stoi(gt, esti, sr, extended=True)
     sdr, sir, sar = energy_ratios(esti, gt, n)
     ret["si_sdr"], ret["si_sir"], ret["si_sar"] = sdr, sir, sar
+    ret["seg_snr"] = seg_snr(gt, esti, sr)
+    ret["lsd"] = log_spectral_distance(gt, esti)
     return ret
 
 

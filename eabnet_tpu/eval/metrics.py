@@ -61,6 +61,39 @@ def hp_filter(signal: np.ndarray, cut_off: float = 80.0, order: int = 10,
     return sosfilt(sos, signal)
 
 
+def seg_snr(ref: np.ndarray, est: np.ndarray, sr: int = 16000,
+            frame_ms: float = 32.0, floor_db: float = -10.0,
+            ceil_db: float = 35.0) -> float:
+    """Segmental SNR in dB: per-frame SNR clamped to [-10, 35] dB and
+    averaged over frames with signal energy."""
+    n = int(sr * frame_ms / 1000.0)
+    n_frames = len(ref) // n
+    if n_frames == 0:
+        return float("nan")
+    r = ref[: n_frames * n].reshape(n_frames, n)
+    e = est[: n_frames * n].reshape(n_frames, n)
+    sig = np.sum(r**2, axis=1)
+    err = np.sum((r - e) ** 2, axis=1)
+    keep = sig > 1e-10
+    if not keep.any():
+        return float("nan")
+    snr = 10 * np.log10(sig[keep] / (err[keep] + 1e-12))
+    return float(np.mean(np.clip(snr, floor_db, ceil_db)))
+
+
+def log_spectral_distance(ref: np.ndarray, est: np.ndarray,
+                          n_fft: int = 512, hop: int = 256) -> float:
+    """RMS log-spectral distance in dB over frames."""
+    from scipy.signal import stft as sp_stft
+
+    _, _, r = sp_stft(ref, nperseg=n_fft, noverlap=n_fft - hop)
+    _, _, e = sp_stft(est, nperseg=n_fft, noverlap=n_fft - hop)
+    pr = np.maximum(np.abs(r) ** 2, 1e-12)
+    pe = np.maximum(np.abs(e) ** 2, 1e-12)
+    d = 10.0 * (np.log10(pr) - np.log10(pe))
+    return float(np.mean(np.sqrt(np.mean(d**2, axis=0))))
+
+
 def pad_spec_to_multiple(spec: np.ndarray, multiple: int = 64,
                          axis: int = -1) -> np.ndarray:
     """Zero-pad the time axis to a frame-count multiple

@@ -65,12 +65,16 @@ def _kernel(xw1_ref, w_hh1_ref, w2_ref, b2_ref, out_ref, h1, c1, h2, c2):
     out_ref[0] = h2_new
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def lstm_bf_pallas(params: Dict, x: jnp.ndarray,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool | None = None) -> jnp.ndarray:
     """params: the bf_map param subtree {rnn1, rnn2, fc1, fc2} (norm is
     applied by the caller); x: (L, T, C) normalized embeddings ->
-    (L, T, 2M) beamforming weights."""
+    (L, T, 2M) beamforming weights.
+
+    ``interpret=None`` auto-selects the Pallas interpreter on non-TPU
+    backends so the same code path runs in CPU tests."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     l, t, c = x.shape
     p1, p2 = params["rnn1"], params["rnn2"]
     h = p1["w_hh"].shape[0]

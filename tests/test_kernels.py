@@ -29,6 +29,24 @@ def test_lstm_bf_pallas_matches_scan():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_eabnet_pallas_impl_matches_scan():
+    """Full model with bf_impl='pallas' (interpreted on CPU) == 'scan'."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.standard_normal((1, 9, 161, 3, 2)).astype(np.float32) * 0.3
+    )
+    cfg_s = EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1)
+    cfg_p = EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1,
+                         bf_impl="pallas")
+    from eabnet_tpu.models import EaBNet
+
+    m_s = EaBNet(cfg_s)
+    params = m_s.init(jax.random.key(0), x)
+    out_s = np.asarray(m_s.apply(params, x))
+    out_p = np.asarray(EaBNet(cfg_p).apply(params, x))
+    np.testing.assert_allclose(out_p, out_s, atol=1e-5)
+
+
 def test_lstm_beamformer_param_tree_stable():
     """The scan/pallas refactor must keep the checkpoint param names."""
     head = LSTMBeamformer(embed_dim=16, M=3, hid_node=8)

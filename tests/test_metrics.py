@@ -101,6 +101,20 @@ def test_cal_single_metrics_and_harness(tmp_path, rng):
     assert (tmp_path / "report.csv").exists()
 
 
+def test_seg_snr_and_lsd(rng):
+    from eabnet_tpu.eval.metrics import log_spectral_distance, seg_snr
+
+    sr = 16000
+    x = _speechlike(sr * 2, sr, rng)
+    # identical signals: segSNR at the ceiling, LSD ~ 0
+    assert seg_snr(x, x, sr) == pytest.approx(35.0)
+    assert log_spectral_distance(x, x) == pytest.approx(0.0, abs=1e-6)
+    y1 = x + 0.01 * rng.standard_normal(len(x))
+    y2 = x + 0.3 * rng.standard_normal(len(x))
+    assert seg_snr(x, y1, sr) > seg_snr(x, y2, sr)
+    assert log_spectral_distance(x, y1) < log_spectral_distance(x, y2)
+
+
 def test_metric_accumulator():
     acc = MetricAccumulator(["a"])
     acc.append("a", 1.0)

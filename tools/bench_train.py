@@ -1,0 +1,92 @@
+"""Training-step throughput benchmark on the current accelerator.
+
+Chains K train steps (the TrainState output feeds the next step — a natural
+dependency chain), fetches the final loss to force completion, subtracts
+the tunnel RTT, and reports steps/sec and utterance-seconds of audio
+processed per wall-second.
+
+    python tools/bench_train.py [--batch 8] [--k 10]
+"""
+
+import argparse
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--compute-dtype", default="float32")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from eabnet_tpu.config import ExperimentConfig, TrainConfig, replace
+    from eabnet_tpu.train import create_train_state, make_train_step
+
+    cfg = ExperimentConfig(
+        train=TrainConfig(batch_size=args.batch,
+                          compute_dtype=args.compute_dtype)
+    )
+    model, state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, model, donate=False)
+
+    n = int(cfg.train.wav_len * cfg.stft.sr)
+    m = cfg.model.eabnet.M
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(
+        (rng.standard_normal((args.batch, m, n)) * 0.05).astype(np.float32)
+    )
+    target = jnp.asarray(
+        (rng.standard_normal((args.batch, n)) * 0.05).astype(np.float32)
+    )
+
+    def fetch(x):
+        return float(np.asarray(x))
+
+    # warmup/compile
+    s, losses = step(state, noisy, target)
+    fetch(losses["final"])
+
+    triv = jax.jit(lambda x: x + 1.0)
+    fetch(triv(jnp.ones(1))[0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fetch(triv(jnp.ones(1))[0])
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    ts = []
+    for _ in range(5):
+        cur = state
+        t0 = time.perf_counter()
+        for _ in range(args.k):
+            cur, losses = step(cur, noisy, target)
+        fetch(losses["final"])
+        ts.append(time.perf_counter() - t0)
+    per_step = (float(np.median(ts)) - rtt) / args.k
+
+    sps = 1.0 / per_step
+    audio_per_sec = args.batch * cfg.train.wav_len * sps
+    print(
+        f"batch {args.batch} ({args.compute_dtype}): "
+        f"{per_step * 1000:.1f} ms/step, {sps:.2f} steps/s, "
+        f"{audio_per_sec:.0f} audio-sec/s "
+        f"({audio_per_sec / 3600:.2f} h of audio per wall-second)"
+    )
+
+
+if __name__ == "__main__":
+    main()
