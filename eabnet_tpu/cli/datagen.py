@@ -12,8 +12,6 @@ from concurrent.futures import ProcessPoolExecutor
 
 
 def _render(job):
-    import numpy as np
-
     from eabnet_tpu.data.datasets import synthesize_item
     from eabnet_tpu.utils.audio_io import write_wav
 

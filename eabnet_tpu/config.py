@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Sequence, Tuple
+from typing import Tuple
 
 
 def _astuple(x) -> Tuple[int, int]:

@@ -21,7 +21,7 @@ RIR synthesis is the dominant host-side cost of online training data
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

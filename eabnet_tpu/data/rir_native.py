@@ -10,7 +10,6 @@ cleanly when the shared library hasn't been built; build with:
 from __future__ import annotations
 
 import ctypes
-import math
 import os
 from typing import Optional, Sequence
 

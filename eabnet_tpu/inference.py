@@ -8,7 +8,7 @@ torch .pth) and exposes a jitted wav -> wav enhancer
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

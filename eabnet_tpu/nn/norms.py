@@ -13,8 +13,6 @@ strictly-causal norm that the streaming path relies on.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

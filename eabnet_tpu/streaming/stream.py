@@ -22,14 +22,14 @@ also be folded through `lax.scan` (see `run`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from eabnet_tpu.config import ComposedConfig, EaBNetConfig, GaGNetConfig
+from eabnet_tpu.config import ComposedConfig, EaBNetConfig
 from eabnet_tpu.nn.lstm import LSTM
 
 # ----------------------------------------------------------- primitives
