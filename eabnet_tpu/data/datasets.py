@@ -235,6 +235,14 @@ class BatchLoader:
         self.shard_count = shard_count
         self._pool = None
         if num_workers > 0 and hasattr(dataset, "item_args"):
+            # build the native RIR engine once in the parent so worker
+            # processes never race the compiler
+            try:
+                from eabnet_tpu.data.rir_native import native_available
+
+                native_available()
+            except Exception:
+                pass
             self._pool = ProcessPoolExecutor(max_workers=num_workers)
 
     def __len__(self) -> int:
@@ -261,16 +269,30 @@ class BatchLoader:
             for i in range(nb)
         ]
         if self._pool is not None:
-            futures = []
-            for b in batches:
-                futures.append([
+            # sliding submission window: at most `prefetch` batches in
+            # flight, so epoch memory stays bounded
+            from collections import deque
+
+            inflight = deque()
+
+            def submit(batch_idx):
+                inflight.append([
                     self._pool.submit(
                         _worker_synthesize,
                         self.ds.item_args(int(i), epoch),
                     )
-                    for i in b
+                    for i in batches[batch_idx]
                 ])
-            for fs in futures:
+
+            head = 0
+            while head < min(self.prefetch, nb):
+                submit(head)
+                head += 1
+            while inflight:
+                fs = inflight.popleft()
+                if head < nb:
+                    submit(head)
+                    head += 1
                 yield _collate([f.result() for f in fs])
         else:
             for b in batches:
