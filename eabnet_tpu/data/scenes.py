@@ -144,6 +144,14 @@ def sample_scene(
         lo, hi = tgt_cfg["dist_to_mic_array"]
         if lo <= dist <= hi or (fixed_target and fixed_mics):
             break
+        if attempt == 50:
+            # same heads-up the reference prints (mcse_dataset.py:206-207)
+            import warnings
+
+            warnings.warn(
+                "scene placement failed 50 times in a sample; the "
+                "geometry constraints may be too tight"
+            )
     else:
         raise RuntimeError("scene placement failed; constraints too tight")
 
