@@ -56,6 +56,21 @@ def test_streaming_eabnet_step_by_step(frames):
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
+def test_streaming_batched():
+    """Streaming with batch > 1 matches offline per-sample."""
+    cfg = _eab_cfg("cLN")
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(
+        rng.standard_normal((2, 8, F, M, 2)).astype(np.float32) * 0.3
+    )
+    model = EaBNet(cfg)
+    variables = model.init(jax.random.key(0), x)
+    offline = np.asarray(model.apply(variables, x))
+    s = StreamingEaBNet(cfg, variables["params"])
+    streamed = np.asarray(s.run(x))
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
 def test_streaming_rejects_instance_norm(frames):
     cfg = _eab_cfg("IN")
     with pytest.raises(ValueError, match="cannot stream"):
