@@ -176,6 +176,8 @@ class TrainConfig:
     validate_once_before_train: bool = False
     compute_dtype: str = "float32"    # "float32" | "bfloat16"
     mesh_axes: Tuple[str, ...] = ("data",)
+    remat: bool = False               # rematerialize the model in backward
+                                      # (trades FLOPs for HBM headroom)
 
 
 @dataclass(frozen=True)

@@ -169,6 +169,9 @@ def _scan_head(params, x: jnp.ndarray) -> jnp.ndarray:
         return (h1, c1, h2, c2), h2
 
     zeros = jnp.zeros((l, h), x.dtype)
+    # NOTE: keep unroll=1 — unrolling speeds the forward slightly but the
+    # unrolled backward materializes (T/u, u, B*F, 4H) activation blocks
+    # that blow past v5e HBM at training batch sizes (measured: 18.6G).
     _, ys = jax.lax.scan(step, (zeros, zeros, zeros, zeros),
                          jnp.transpose(xw1, (1, 0, 2)))
     ys = jnp.transpose(ys, (1, 0, 2))  # (L, T, H)

@@ -86,6 +86,17 @@ def make_train_step(
         else jnp.float32
     )
 
+    def apply_model(variables, noisy_stft):
+        if has_bn:
+            return model.apply(variables, noisy_stft, train=True,
+                               mutable=["batch_stats"])
+        return model.apply(variables, noisy_stft, train=True), None
+
+    if cfg.train.remat:
+        # trade recompute for HBM: activations are rematerialized in the
+        # backward pass instead of stored
+        apply_model = jax.checkpoint(apply_model)
+
     def loss_fn(params, batch_stats, noisy_wav, target_wav):
         noisy_stft, target_stft = prepare_data(noisy_wav, target_wav,
                                                cfg.stft)
@@ -94,13 +105,10 @@ def make_train_step(
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
-            out, mutated = model.apply(
-                variables, noisy_stft, train=True,
-                mutable=["batch_stats"],
-            )
+            out, mutated = apply_model(variables, noisy_stft)
             new_stats = mutated["batch_stats"]
         else:
-            out = model.apply(variables, noisy_stft, train=True)
+            out, _ = apply_model(variables, noisy_stft)
             new_stats = batch_stats
         out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         mask = frame_mask(
