@@ -24,13 +24,19 @@ from eabnet_tpu.utils.audio_io import read_wav, resample, write_wav
 
 
 class Enhancer:
-    """wav (M, N) -> enhanced wav (N,), jit-compiled per input length
-    bucket."""
+    """wav (M, N) -> enhanced wav (N,).
 
-    def __init__(self, cfg: ExperimentConfig, params):
+    Inputs are zero-padded up to a length bucket (1 s granularity by
+    default) so a directory of arbitrary-length files compiles a handful of
+    programs instead of one per file — compilation is expensive on TPU.
+    """
+
+    def __init__(self, cfg: ExperimentConfig, params,
+                 bucket_seconds: float = 1.0):
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.params = params
+        self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
         self._jitted = jax.jit(self._enhance)
 
     def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
@@ -45,8 +51,12 @@ class Enhancer:
         reference CLI's index_select, enhance.py:41-42)."""
         if mic_permutation is not None:
             noisy = noisy[np.asarray(mic_permutation)]
+        n = noisy.shape[-1]
+        padded = ((n + self.bucket - 1) // self.bucket) * self.bucket
+        if padded != n:
+            noisy = np.pad(noisy, ((0, 0), (0, padded - n)))
         wav = self._jitted(self.params, jnp.asarray(noisy)[None])
-        return np.asarray(wav)[0]
+        return np.asarray(wav)[0][:n]
 
     def enhance_file(self, in_path: str, out_path: str,
                      mic_permutation: Optional[list] = None) -> None:
