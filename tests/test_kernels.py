@@ -47,6 +47,29 @@ def test_eabnet_pallas_impl_matches_scan():
     np.testing.assert_allclose(out_p, out_s, atol=1e-5)
 
 
+def test_pallas_config_still_trains():
+    """bf_impl='pallas' models must remain differentiable: training takes
+    the scan path automatically (the kernel has no VJP)."""
+    cfg = EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1,
+                       bf_impl="pallas")
+    from eabnet_tpu.models import EaBNet
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng.standard_normal((1, 7, 161, 3, 2)).astype(np.float32) * 0.3
+    )
+    model = EaBNet(cfg)
+    params = model.init(jax.random.key(0), x, train=True)
+
+    def loss(p):
+        return jnp.sum(jnp.square(model.apply(p, x, train=True)))
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(
+        float(jax.tree.leaves(g)[0].ravel()[0])
+    )
+
+
 def test_lstm_beamformer_param_tree_stable():
     """The scan/pallas refactor must keep the checkpoint param names."""
     head = LSTMBeamformer(embed_dim=16, M=3, hid_node=8)
