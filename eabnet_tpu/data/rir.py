@@ -220,6 +220,27 @@ def _convolve(sig: np.ndarray, h: np.ndarray, n_out: int) -> np.ndarray:
     return y[:n_out]
 
 
+def _mix_through_rirs(sources, rirs, m: int, n: int) -> np.ndarray:
+    """Frequency-domain batched room propagation.
+
+    Instead of one fftconvolve per (source, mic) pair (n_src*M separate
+    FFTs — the dominant cost of online synthesis), accumulate
+    sum_s S_s(f) * H_{s,m}(f) per mic and invert once: n_src forward FFTs
+    + n_src batched RIR FFTs + one batched inverse FFT.
+    """
+    from scipy.fft import irfft, next_fast_len, rfft
+
+    max_l = max(h.shape[1] for h in rirs)
+    nfft = next_fast_len(n + max_l - 1)
+    acc = np.zeros((m, nfft // 2 + 1), np.complex128)
+    for sig, h in zip(sources, rirs):
+        s_f = rfft(sig, nfft)
+        h_f = rfft(h, nfft, axis=-1)  # (M, F) batched
+        acc += s_f[None, :] * h_f
+    out = irfft(acc, nfft, axis=-1)[:, :n]
+    return out.astype(np.float32)
+
+
 def simulate_scene(
     room_dim,
     e_absorption: float,
@@ -262,17 +283,17 @@ def simulate_scene(
             if backend == "native":
                 raise
 
-    noisy = np.zeros((m, n), np.float32)
     sources = [(p_target, clean)] + [
         (p, s) for p, s in zip(p_noise_list, noises)
     ]
-    for p_src, sig in sources:
-        h = rir_fn(
+    rirs = [
+        rir_fn(
             room_dim, p_src, p_mics, e_absorption, max_order, fs,
             method=rir_method, rt60=rt60, rng=rng,
         )
-        for mi in range(m):
-            noisy[mi] += _convolve(sig, h[mi], n).astype(np.float32)
+        for p_src, _ in sources
+    ]
+    noisy = _mix_through_rirs([s for _, s in sources], rirs, m, n)
 
     h_direct = direct_path_rir(p_target, p_mics[ref_mic], fs)
     clean_ref = _convolve(clean, h_direct, n).astype(np.float32)
