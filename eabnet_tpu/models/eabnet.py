@@ -243,11 +243,10 @@ class EaBNet(nn.Module):
 
         if cfg.topo_type == "mimo":
             if cfg.bf_type == "lstm":
-                # the Pallas head is inference-only (no custom VJP yet);
-                # training always takes the differentiable scan path
-                impl = "scan" if train else cfg.bf_impl
+                # the Pallas head carries a custom VJP (fused reverse-scan
+                # backward kernel) so it is usable for training too
                 bf_w = LSTMBeamformer(cfg.embed_dim, m, cfg.hid_node,
-                                      impl=impl, name="bf_map")(x)
+                                      impl=cfg.bf_impl, name="bf_map")(x)
             else:  # pointwise conv head (reference: EaBNet.py:79,111-113)
                 w = nn.Dense(2 * m, name="bf_map")(x)  # (B, T, F, 2M)
                 bf_w = w.reshape(b, t, f, m, 2)
