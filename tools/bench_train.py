@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--compute-dtype", default="float32")
+    parser.add_argument("--bf-impl", default="scan",
+                        choices=["scan", "pallas"],
+                        help="LSTM head implementation (pallas = fused "
+                        "custom-VJP kernels)")
     args = parser.parse_args()
 
     import jax
@@ -32,12 +36,18 @@ def main():
 
     import jax.numpy as jnp
 
-    from eabnet_tpu.config import ExperimentConfig, TrainConfig, replace
+    from eabnet_tpu.config import (
+        ComposedConfig,
+        EaBNetConfig,
+        ExperimentConfig,
+        TrainConfig,
+    )
     from eabnet_tpu.train import create_train_state, make_train_step
 
     cfg = ExperimentConfig(
+        model=ComposedConfig(eabnet=EaBNetConfig(bf_impl=args.bf_impl)),
         train=TrainConfig(batch_size=args.batch,
-                          compute_dtype=args.compute_dtype)
+                          compute_dtype=args.compute_dtype),
     )
     model, state = create_train_state(cfg, jax.random.key(0))
     step = make_train_step(cfg, model, donate=False)
