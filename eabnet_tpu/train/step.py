@@ -102,6 +102,14 @@ def make_train_step(
                                                cfg.stft)
         target = from_reference_layout(target_stft)
         noisy_stft = noisy_stft.astype(compute_dtype)
+        if compute_dtype != jnp.float32:
+            # classic mixed precision: cast the f32 master weights to the
+            # compute dtype inside the differentiated function — convs and
+            # matmuls run bf16 on the MXU, grads flow back through the
+            # cast as f32
+            params = jax.tree.map(
+                lambda p: p.astype(compute_dtype), params
+            )
         variables = {"params": params}
         if has_bn:
             variables["batch_stats"] = batch_stats
