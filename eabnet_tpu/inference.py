@@ -71,9 +71,20 @@ class Enhancer:
 
 def load_enhancer(exp_root: str,
                   checkpoint: Optional[str] = None) -> Enhancer:
-    """Build an Enhancer from an experiment dir (config.json + checkpoints)
-    or an explicit checkpoint path (.ckpt or reference .pth)."""
-    cfg = ExperimentConfig.load(os.path.join(exp_root, "config.json"))
+    """Build an Enhancer from an experiment dir — either this framework's
+    (config.json + *.ckpt) or a REFERENCE experiment directory
+    (args.pickle + *.pth, the format frozen by train_distributed.py:360-361)
+    — or from an explicit checkpoint path."""
+    if os.path.exists(os.path.join(exp_root, "config.json")):
+        cfg = ExperimentConfig.load(os.path.join(exp_root, "config.json"))
+    elif os.path.exists(os.path.join(exp_root, "args.pickle")):
+        from eabnet_tpu.utils.convert_args import load_reference_experiment
+
+        cfg = load_reference_experiment(exp_root)
+    else:
+        raise FileNotFoundError(
+            f"no config.json or args.pickle under {exp_root}"
+        )
     _, state = create_train_state(cfg, jax.random.key(0))
     ckpt = checkpoint or latest_checkpoint(
         cfg.train.checkpoint_dir
