@@ -51,6 +51,20 @@ class TrainLogger:
             wav = wav / peak
         self.writer.add_audio(tag, wav, step, sr)
 
+    def spectrogram(self, tag: str, spec_mag: np.ndarray, step: int) -> None:
+        """Log a (T, F) magnitude spectrogram as an inferno-colormapped
+        image (the reference's commented-out `coloring`,
+        train_distributed.py:100-105, 143-145)."""
+        if not self.enabled:
+            return
+        import matplotlib
+
+        s = np.log(np.abs(spec_mag) + 1e-6)
+        s = (s - s.min()) / (s.max() - s.min() + 1e-12)
+        cmap = matplotlib.colormaps["inferno"]
+        img = cmap(s.T[::-1])[..., :3].transpose(2, 0, 1)  # (3, F, T)
+        self.writer.add_image(tag, img.astype(np.float32), step)
+
     def close(self) -> None:
         if self._writer is not None:
             self._writer.close()

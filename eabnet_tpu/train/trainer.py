@@ -61,6 +61,8 @@ def validate(cfg, state, eval_step, val_loader, logger, step):
             logger.audio(f"audio{i}/noisy", np.mean(noisy[0], axis=0), step,
                          cfg.stft.sr)
             logger.audio(f"audio{i}/target", target[0], step, cfg.stft.sr)
+            mag = np.linalg.norm(np.asarray(esti[0]), axis=-1)  # (T, F)
+            logger.spectrogram(f"spec{i}/estimated", mag, step)
     mean_loss = float(np.mean(losses)) if losses else float("nan")
     if _is_chief():
         logger.scalars("valid", {"valid_loss": mean_loss}, step)
