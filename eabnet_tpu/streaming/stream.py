@@ -355,6 +355,69 @@ class _U2Decoder:
         return new_state, _prelu(x, params["last_act"])
 
 
+class _UNetEncoder:
+    """Plain 5-stage gated-conv encoder step (reference: EaBNet.py:199-239;
+    param names conv_i / norm_i / act_i, norm on stages per norm_stages)."""
+
+    def __init__(self, norm: _NormStepper,
+                 norm_stages=(True, False, False, True, True)):
+        self.norm = norm
+        self.norm_stages = norm_stages
+        self.convs = [_GateConv(2, 2) for _ in range(5)]
+
+    def init(self, b, f_in, channels):
+        st = {}
+        for i, conv in enumerate(self.convs):
+            st[f"conv_{i}"] = conv.init(b, *channels[i])
+            if self.norm_stages[i]:
+                st[f"norm_{i}"] = self.norm.init(b)
+        return st
+
+    def __call__(self, params, stats, state, x):
+        new_state = {}
+        skips = []
+        for i, conv in enumerate(self.convs):
+            new_state[f"conv_{i}"], x = conv(
+                params[f"conv_{i}"], state[f"conv_{i}"], x)
+            if self.norm_stages[i]:
+                ns, x = self.norm(params[f"norm_{i}"],
+                                  _stats(stats, f"norm_{i}"),
+                                  state[f"norm_{i}"], x)
+                new_state[f"norm_{i}"] = ns
+            x = _prelu(x, params[f"act_{i}"])
+            skips.append(x)
+        return new_state, x, skips
+
+
+class _UNetDecoder:
+    """Plain 5-stage gated-deconv decoder step
+    (reference: EaBNet.py:282-328)."""
+
+    def __init__(self, norm: _NormStepper):
+        self.norm = norm
+        self.convs = [_GateConv(2, 2, transposed=True) for _ in range(5)]
+
+    def init(self, b, channels):
+        st = {}
+        for i, conv in enumerate(self.convs):
+            st[f"conv_{i}"] = conv.init(b, *channels[i])
+            st[f"norm_{i}"] = self.norm.init(b)
+        return st
+
+    def __call__(self, params, stats, state, x, skips):
+        new_state = {}
+        for i, conv in enumerate(self.convs):
+            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            new_state[f"conv_{i}"], x = conv(
+                params[f"conv_{i}"], state[f"conv_{i}"], x)
+            ns, x = self.norm(params[f"norm_{i}"],
+                              _stats(stats, f"norm_{i}"),
+                              state[f"norm_{i}"], x)
+            new_state[f"norm_{i}"] = ns
+            x = _prelu(x, params[f"act_{i}"])
+        return new_state, x
+
+
 # ------------------------------------------------------------- top level
 
 
@@ -371,16 +434,16 @@ class StreamingEaBNet:
 
     def __init__(self, cfg: EaBNetConfig, params: Dict,
                  batch_stats: Dict = None):
-        assert cfg.is_u2, "streaming currently supports the U2 topology"
-        assert cfg.topo_type == "mimo" and cfg.bf_type == "lstm", (
-            "streaming supports the default mimo/lstm head"
-        )
         self.cfg = cfg
         self.params = params
         self.stats = batch_stats or {}
         self.norm = _NormStepper(cfg.norm_type)
-        self.en = _U2Encoder(cfg, self.norm)
-        self.de = _U2Decoder(cfg, self.norm)
+        if cfg.is_u2:
+            self.en = _U2Encoder(cfg, self.norm)
+            self.de = _U2Decoder(cfg, self.norm)
+        else:
+            self.en = _UNetEncoder(self.norm)
+            self.de = _UNetDecoder(self.norm)
         self.tcms: List[List[_TCM]] = [
             [
                 _TCM(cfg.kd1, cfg.cd1, 2 ** j, self.norm, twin=True)
@@ -415,11 +478,11 @@ class StreamingEaBNet:
             "tcm": [
                 [t.init(b) for t in grp] for grp in self.tcms
             ],
-            "rnn1": (jnp.zeros((b * 161, cfg.hid_node), jnp.float32),
-                     jnp.zeros((b * 161, cfg.hid_node), jnp.float32)),
-            "rnn2": (jnp.zeros((b * 161, cfg.hid_node), jnp.float32),
-                     jnp.zeros((b * 161, cfg.hid_node), jnp.float32)),
         }
+        if cfg.topo_type == "mimo" and cfg.bf_type == "lstm":
+            zeros = jnp.zeros((b * 161, cfg.hid_node), jnp.float32)
+            state["rnn1"] = (zeros, zeros)
+            state["rnn2"] = (zeros, zeros)
         return state
 
     def step(self, state: Dict, frame: jnp.ndarray):
@@ -455,20 +518,35 @@ class StreamingEaBNet:
                               state["de"], x, skips)
         new_state["de"] = de_state
 
-        # LSTM beamformer head on one frame
+        # beamforming head on one frame
         bp = p["bf_map"]
         emb = x[:, 0]  # (B, F, C)
-        mean = emb.mean(axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(emb - mean), axis=-1, keepdims=True)
-        emb = (emb - mean) / jnp.sqrt(var + 1e-5)
-        emb = emb * bp["norm"]["scale"] + bp["norm"]["bias"]
-        lanes = emb.reshape(b * f, -1)
-        new_state["rnn1"], h1 = LSTM.step_fn(bp["rnn1"], state["rnn1"],
-                                             lanes)
-        new_state["rnn2"], h2 = LSTM.step_fn(bp["rnn2"], state["rnn2"], h1)
-        w = jax.nn.relu(h2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"])
-        w = w @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
-        bf_w = w.reshape(b, f, m, 2)
+        if cfg.topo_type == "miso":
+            # per-TF complex product with the reference mic
+            # (see ARCHITECTURE.md note on the reference miso bug)
+            w = _dense(emb, bp)  # (B, F, 2)
+            ref = frame[..., 0, :]
+            esti = jnp.stack(
+                [w[..., 0] * ref[..., 0] - w[..., 1] * ref[..., 1],
+                 w[..., 0] * ref[..., 1] + w[..., 1] * ref[..., 0]],
+                axis=-1,
+            )
+            return new_state, esti
+        if cfg.bf_type == "cnn":
+            bf_w = _dense(emb, bp).reshape(b, f, m, 2)
+        else:
+            mean = emb.mean(axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(emb - mean), axis=-1, keepdims=True)
+            emb_n = (emb - mean) / jnp.sqrt(var + 1e-5)
+            emb_n = emb_n * bp["norm"]["scale"] + bp["norm"]["bias"]
+            lanes = emb_n.reshape(b * f, -1)
+            new_state["rnn1"], h1 = LSTM.step_fn(bp["rnn1"], state["rnn1"],
+                                                 lanes)
+            new_state["rnn2"], h2 = LSTM.step_fn(bp["rnn2"], state["rnn2"],
+                                                 h1)
+            w = jax.nn.relu(h2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"])
+            w = w @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+            bf_w = w.reshape(b, f, m, 2)
 
         wr, wi = bf_w[..., 0], bf_w[..., 1]
         xr, xi = frame[..., 0], frame[..., 1]

@@ -77,6 +77,22 @@ def test_streaming_rejects_instance_norm(frames):
         StreamingEaBNet(cfg, {})
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [{"is_u2": False}, {"bf_type": "cnn"}, {"topo_type": "miso"}],
+    ids=["unet", "cnn_head", "miso"],
+)
+def test_streaming_variants_match_offline(frames, kw):
+    cfg = EaBNetConfig(c=8, M=M, embed_dim=8, cd1=8, p=2, q=1,
+                       norm_type="cLN", **kw)
+    model = EaBNet(cfg)
+    variables = model.init(jax.random.key(0), frames)
+    offline = np.asarray(model.apply(variables, frames))
+    s = StreamingEaBNet(cfg, variables["params"])
+    streamed = np.asarray(s.run(frames))
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
 def test_streaming_composed_matches_offline(frames):
     cfg = ComposedConfig(
         eabnet=_eab_cfg("cLN"),
