@@ -6,4 +6,6 @@ from eabnet_tpu.dsp.stft import (  # noqa: F401
     power_uncompress,
     prepare_data,
     stft_to_wav,
+    StreamingStft,
+    StreamingIstft,
 )

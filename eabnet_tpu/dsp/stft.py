@@ -235,6 +235,89 @@ def prepare_data(
     return noisy, target
 
 
+class StreamingStft:
+    """Sample-in, frame-out STFT for streaming inference.
+
+    Feed hop-sized sample blocks; each push yields one (..., F, 2)
+    compressed frame. Matches the offline :func:`stft` in steady state
+    (the offline transform's reflect-padding affects only the first
+    n_fft/(2*hop) frames; streaming starts from silence instead).
+    """
+
+    def __init__(self, cfg: StftConfig, compress: bool = True):
+        self.cfg = cfg
+        self.compress = compress
+        self.window = hann_window(cfg.win_samples)
+        cos_b, sin_b = _dft_bases(cfg.fft_num)
+        self.basis = jnp.asarray(
+            np.concatenate([cos_b, -sin_b], axis=1), jnp.float32
+        )
+
+    def init_state(self, *lead: int) -> jnp.ndarray:
+        """Carried input tail: the last n_fft - hop samples."""
+        cfg = self.cfg
+        return jnp.zeros(lead + (cfg.fft_num - cfg.hop_samples,),
+                         jnp.float32)
+
+    def push(self, state: jnp.ndarray, samples: jnp.ndarray):
+        """state, (..., hop) samples -> (new_state, (..., F, 2) frame)."""
+        buf = jnp.concatenate([state, samples], axis=-1)  # (..., n_fft)
+        frame = buf * self.window
+        spec = jnp.matmul(frame, self.basis,
+                          preferred_element_type=jnp.float32)
+        f = self.cfg.freq_bins
+        out = jnp.stack([spec[..., :f], spec[..., f:]], axis=-1)
+        if self.compress:
+            out = power_compress(out, self.cfg.compression, axis=-1)
+        return buf[..., self.cfg.hop_samples:], out
+
+
+class StreamingIstft:
+    """Frame-in, sample-out iSTFT for streaming inference.
+
+    Each pushed (..., F, 2) frame yields hop samples, delayed by
+    (n_fft - hop) samples relative to the frame's window start (the
+    overlap-add look-ahead). Steady-state output equals the offline
+    :func:`istft` interior.
+    """
+
+    def __init__(self, cfg: StftConfig):
+        self.cfg = cfg
+        self.window = hann_window(cfg.win_samples)
+        c_b, s_b = _idft_bases(cfg.fft_num)
+        self.basis = jnp.asarray(
+            np.concatenate([c_b, s_b], axis=0), jnp.float32
+        )
+        # steady-state OLA of the squared window at hop offsets
+        n, hop = cfg.fft_num, cfg.hop_samples
+        wsq = np.zeros(n)
+        w = np.asarray(self.window) ** 2
+        for k in range(-(n // hop) + 1, n // hop):
+            lo = max(0, k * hop)
+            hi = min(n, n + k * hop)
+            wsq[lo:hi] += w[lo - k * hop : hi - k * hop]
+        self.envelope = jnp.asarray(
+            np.maximum(wsq[:hop], 1e-11), jnp.float32
+        )
+
+    def init_state(self, *lead: int) -> jnp.ndarray:
+        """Carried overlap-add tail of n_fft - hop samples."""
+        cfg = self.cfg
+        return jnp.zeros(lead + (cfg.fft_num - cfg.hop_samples,),
+                         jnp.float32)
+
+    def push(self, state: jnp.ndarray, frame_ri: jnp.ndarray):
+        """state, (..., F, 2) frame -> (new_state, (..., hop) samples)."""
+        cfg = self.cfg
+        ri = jnp.concatenate([frame_ri[..., 0], frame_ri[..., 1]], axis=-1)
+        x = jnp.matmul(ri, self.basis,
+                       preferred_element_type=jnp.float32) * self.window
+        hop = cfg.hop_samples
+        acc = x.at[..., : cfg.fft_num - hop].add(state)
+        out = acc[..., :hop] / self.envelope
+        return acc[..., hop:], out
+
+
 def stft_to_wav(esti_stft: jnp.ndarray, cfg: StftConfig,
                 length: Optional[int] = None) -> jnp.ndarray:
     """(B, 2, T, F) compressed spectrum -> waveform (B, N).
