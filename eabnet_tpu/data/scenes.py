@@ -18,6 +18,7 @@ same keys.
 from __future__ import annotations
 
 import json
+import pathlib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -26,8 +27,37 @@ import numpy as np
 from eabnet_tpu.data.rir import inverse_sabine
 
 
+#: Short names for the framework-shipped array-geometry settings
+#: (equivalents of the reference's three dataset/mcse_dataset_settings*.json:
+#: v1 = 8-mic planar 3x6cm grid, v2 = 9-mic linear 4cm pitch, v3 = 8-mic
+#: planar variant facing +x).
+BUILTIN_SETTINGS = {
+    "v1": "mcse_dataset_settings.json",
+    "v2": "mcse_dataset_settings_v2.json",
+    "v3": "mcse_dataset_settings_v3.json",
+}
+
+
+def builtin_settings_path(name: str) -> str:
+    """Absolute path of a packaged settings JSON ('v1'/'v2'/'v3' or filename)."""
+    fname = BUILTIN_SETTINGS.get(name, name)
+    return str(
+        pathlib.Path(__file__).resolve().parent / "settings" / fname
+    )
+
+
 def load_settings(path: str) -> Dict:
-    with open(path) as f:
+    """Load a scene-settings JSON.
+
+    ``path`` may be a filesystem path, a builtin short name ('v1'/'v2'/'v3'),
+    or the bare filename of a packaged settings file.
+    """
+    p = pathlib.Path(path)
+    if not p.exists():
+        builtin = pathlib.Path(builtin_settings_path(path))
+        if builtin.exists():
+            p = builtin
+    with open(p) as f:
         return json.load(f)
 
 

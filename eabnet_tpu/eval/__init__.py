@@ -9,7 +9,13 @@ from eabnet_tpu.eval.metrics import (  # noqa: F401
     MetricAccumulator,
 )
 from eabnet_tpu.eval.stoi import stoi  # noqa: F401
-from eabnet_tpu.eval.pesq import pesq, pesq_available  # noqa: F401
+from eabnet_tpu.eval.pesq import (  # noqa: F401
+    itu_pesq_available,
+    pesq,
+    pesq_available,
+    pesq_backend,
+)
+from eabnet_tpu.eval.p862 import pesq_p862  # noqa: F401
 from eabnet_tpu.eval.harness import (  # noqa: F401
     cal_single_metrics,
     evaluate_dataset,

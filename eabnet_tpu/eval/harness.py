@@ -48,8 +48,13 @@ def cal_single_metrics(
     gt, noisy, esti = _align(gt, noisy, esti)
     n = noisy - gt
     ret: Dict[str, Optional[float]] = {}
-    ret["pesq"] = pesq(sr, gt, esti, "wb")
-    ret["nb_pesq"] = pesq(sr, gt, esti, "nb")
+    try:
+        ret["pesq"] = pesq(sr, gt, esti, "wb")
+        ret["nb_pesq"] = pesq(sr, gt, esti, "nb")
+    except ValueError:
+        # clip too short / silent for P.862; all other metrics still score
+        ret["pesq"] = None
+        ret["nb_pesq"] = None
     ret["stoi"] = stoi(gt, esti, sr, extended=False)
     ret["estoi"] = stoi(gt, esti, sr, extended=True)
     sdr, sir, sar = energy_ratios(esti, gt, n)
@@ -101,6 +106,9 @@ def write_report(acc: MetricAccumulator, rows: list, out_prefix: str) -> str:
             continue
         m, s = mean_std(vals)
         lines.append(f"{metric}: {m:.2f} ± {s:.2f}")
+    from eabnet_tpu.eval.pesq import pesq_backend
+
+    lines.append(f"# pesq backend: {pesq_backend()}")
     with open(txt_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return txt_path

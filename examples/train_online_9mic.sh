@@ -32,7 +32,7 @@ python -m eabnet_tpu.cli.train \
   --set "train.checkpoint_dir=\"$exp_root/checkpoints\"" \
   --set 'data.train_set="online"' \
   --set 'data.val_set="data/datasets/mcse_val_setting2"' \
-  --set 'data.mcse_settings="data/settings/mcse_dataset_settings_v2.json"' \
+  --set 'data.mcse_settings="v2"' \
   --set 'data.speech_root="data/datasets/datasets_fullband/clean_fullband/read_speech"' \
   --set 'data.noise_root="data/datasets/datasets_fullband/noise_fullband"' \
   --set 'data.speech_list="data/datasets/datasets_fullband/cleans_train"' \

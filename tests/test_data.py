@@ -129,6 +129,31 @@ def test_sample_scene_specific_overrides(settings):
     assert len(s.p_noises) == 1
 
 
+def test_builtin_settings_load_and_sample():
+    """The three framework-shipped geometry JSONs load and produce scenes
+    (reference ships dataset/mcse_dataset_settings{,_v2,_v3}.json)."""
+    import os
+
+    from eabnet_tpu.data.scenes import BUILTIN_SETTINGS, builtin_settings_path
+
+    expected_mics = {"v1": 8, "v2": 9, "v3": 8}
+    for name, n_mics in expected_mics.items():
+        assert name in BUILTIN_SETTINGS
+        path = builtin_settings_path(name)
+        assert os.path.exists(path), path
+        for key in (name, path, BUILTIN_SETTINGS[name]):
+            opt = load_settings(key)
+            assert len(opt["mic_array"]["mics"]) == n_mics
+        rng = np.random.default_rng(7)
+        s = sample_scene(opt, rng)
+        assert s.p_mics.shape == (n_mics, 3)
+        assert s.fs == 16000
+    # v2 is the 9-mic 4 cm-pitch linear array
+    v2 = load_settings("v2")
+    ys = [m["y"] for m in v2["mic_array"]["mics"]]
+    np.testing.assert_allclose(np.diff(ys), -0.04, atol=1e-12)
+
+
 def test_inverse_sabine_matches_formula():
     e, order = inverse_sabine(0.3, [5, 4, 3])
     v, s = 60.0, 2 * (20 + 15 + 12)

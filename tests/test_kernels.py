@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eabnet_tpu.config import EaBNetConfig
 from eabnet_tpu.kernels.lstm_bf import lstm_bf_pallas
@@ -29,6 +30,7 @@ def test_lstm_bf_pallas_matches_scan():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_eabnet_pallas_impl_matches_scan():
     """Full model with bf_impl='pallas' (interpreted on CPU) == 'scan'."""
     rng = np.random.default_rng(5)
@@ -119,6 +121,7 @@ def test_lstm_bf_pallas_lane_blocking(monkeypatch):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pallas_config_still_trains():
     """bf_impl='pallas' models must remain differentiable: training takes
     the scan path automatically (the kernel has no VJP)."""

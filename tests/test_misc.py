@@ -1,11 +1,13 @@
 """Misc coverage: bf16 compute, corpus split tool, pad_spec."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_bf16_train_step(tmp_path):
     from tests.test_trainer_cli import tiny_cfg
 

@@ -58,6 +58,7 @@ def test_latest_checkpoint_finds_pth(pth_path):
     assert latest_checkpoint(d) == path
 
 
+@pytest.mark.slow
 def test_reference_experiment_dir_end_to_end(pth_path, cfg, tmp_path):
     """A reference experiment dir (args.pickle + <iter>.pth) enhances a
     wav through load_enhancer with zero conversion steps."""
@@ -100,6 +101,7 @@ def test_reference_experiment_dir_end_to_end(pth_path, cfg, tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_load_and_enhance_from_pth(pth_path, cfg):
     path, _ = pth_path
     _, state = create_train_state(cfg, jax.random.key(0))

@@ -27,6 +27,7 @@ def frames():
     )
 
 
+@pytest.mark.slow
 def test_streaming_eabnet_matches_offline_cln(frames):
     cfg = _eab_cfg("cLN")
     model = EaBNet(cfg)
@@ -56,6 +57,7 @@ def test_streaming_eabnet_step_by_step(frames):
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_streaming_batched():
     """Streaming with batch > 1 matches offline per-sample."""
     cfg = _eab_cfg("cLN")

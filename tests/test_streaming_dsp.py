@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eabnet_tpu.config import StftConfig
 from eabnet_tpu.dsp import (
@@ -41,6 +42,7 @@ def test_streaming_stft_matches_offline(rng):
     )
 
 
+@pytest.mark.slow
 def test_wav_level_streaming_chain_matches_offline(rng):
     """Full streaming chain (StreamingStft -> StreamingComposed ->
     StreamingIstft) reproduces the offline enhancement interior for a

@@ -44,6 +44,7 @@ def make_batch(cfg, b=None):
     )
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_on_8_devices():
     cfg = small_cfg()
     mesh = make_mesh(("data",))
@@ -65,6 +66,7 @@ def test_train_step_decreases_loss_on_8_devices():
         assert np.isfinite(losses[-1]), k
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """Data-parallel loss and gradients must match single-device execution
     up to all-reduce summation-order noise. (Post-Adam parameters are NOT
@@ -107,6 +109,7 @@ def test_sharded_matches_single_device():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_autoresume(tmp_path):
     cfg = small_cfg()
     model, state = create_train_state(cfg, jax.random.key(0))
@@ -143,6 +146,7 @@ def test_eval_step():
     assert np.isfinite(float(losses["final"]))
 
 
+@pytest.mark.slow
 def test_freeze_eabnet():
     cfg = small_cfg()
     cfg = ExperimentConfig(

@@ -37,6 +37,7 @@ def tiny_cfg(tmp_path, **train_kw):
     )
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_resume(tmp_path, capsys):
     from eabnet_tpu.train.trainer import train
 
@@ -63,6 +64,7 @@ def test_trainer_end_to_end_with_resume(tmp_path, capsys):
     assert "5.ckpt" in ckpts
 
 
+@pytest.mark.slow
 def test_enhance_and_test_cli(tmp_path, capsys):
     from eabnet_tpu.cli import enhance as enhance_cli
     from eabnet_tpu.cli import test as test_cli
