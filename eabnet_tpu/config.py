@@ -148,6 +148,10 @@ class DataConfig:
     clip_seconds: float = 6.0
     num_workers: int = 8
     prefetch: int = 4
+    # variable-length batches are zero-padded up to a multiple of this many
+    # seconds (shape buckets bound jit recompiles); true lengths flow into
+    # the losses' frame masks
+    pad_to_seconds: float = 1.0
     rir_backend: str = "auto"         # "auto" | "native" | "numpy"
     # l3das23 backend (reference: train_distributed.py:322-327)
     training_predictors_path: str = ""

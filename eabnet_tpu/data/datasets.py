@@ -223,9 +223,11 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 0,
                  prefetch: int = 4, drop_last: bool = True,
                  shuffle: bool = True, seed: int = 0,
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 pad_multiple: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
+        self.pad_multiple = max(1, int(pad_multiple))
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
@@ -261,7 +263,8 @@ class BatchLoader:
         per = n // self.shard_count
         return idx[self.shard_index * per : (self.shard_index + 1) * per]
 
-    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def epoch(self, epoch: int = 0) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         idx = self._epoch_indices(epoch)
         nb = len(self)
         batches = [
@@ -293,10 +296,12 @@ class BatchLoader:
                 if head < nb:
                     submit(head)
                     head += 1
-                yield _collate([f.result() for f in fs])
+                yield _collate([f.result() for f in fs],
+                               self.pad_multiple)
         else:
             for b in batches:
-                yield _collate([self.ds[int(i)] for i in b])
+                yield _collate([self.ds[int(i)] for i in b],
+                               self.pad_multiple)
 
     def close(self):
         if self._pool is not None:
@@ -304,12 +309,28 @@ class BatchLoader:
             self._pool = None
 
 
-def _collate(items) -> Tuple[np.ndarray, np.ndarray]:
-    """Stack (noisy (M,N), clean (N,)) pairs, trimming to the shortest."""
-    n = min(it[0].shape[-1] for it in items)
-    noisy = np.stack([it[0][..., :n] for it in items])
-    clean = np.stack([it[1][..., :n] for it in items])
-    return noisy.astype(np.float32), clean.astype(np.float32)
+def _collate(items, pad_multiple: int = 1
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stack (noisy (M,N), clean (N,)) pairs into a padded batch.
+
+    Pads every item with zeros to the longest item's length, rounded up to
+    ``pad_multiple`` samples (shape bucketing keeps the number of distinct
+    jit shapes small). Returns (noisy (B,M,N'), clean (B,N'),
+    n_samples (B,) true lengths) — the lengths feed the per-utterance frame
+    masks of the losses (reference: train_distributed.py:86-95), so padded
+    audio never silently contributes to training.
+    """
+    lengths = np.array([it[0].shape[-1] for it in items], np.int32)
+    n = int(lengths.max())
+    if pad_multiple > 1:
+        n = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+    noisy = np.zeros((len(items),) + items[0][0].shape[:-1] + (n,),
+                     np.float32)
+    clean = np.zeros((len(items), n), np.float32)
+    for i, (ns, cl) in enumerate(items):
+        noisy[i, ..., : ns.shape[-1]] = ns
+        clean[i, : cl.shape[-1]] = cl
+    return noisy, clean, lengths
 
 
 def make_dataset(cfg: DataConfig, mics: int = 9, seed: int = 0):

@@ -68,6 +68,23 @@ def _freeze_mask(params, frozen_top_level: str):
     }
 
 
+def _valid_frames(n_samples, total_frames: int, cfg: ExperimentConfig,
+                  total_samples: int):
+    """(B,) true sample counts -> (B,) valid loss-mask frame counts.
+
+    Items at the padded batch's full length keep every frame (reference
+    parity: frame_list = [T]*B, train_distributed.py:224). Shorter items
+    are masked conservatively to frames whose analysis window lies entirely
+    inside their true samples, so zero-padding can never leak into the loss.
+    """
+    n = jnp.asarray(n_samples)
+    full = 1 + n // cfg.stft.hop_samples
+    supported = 1 + jnp.maximum(n - cfg.stft.win_samples, 0) \
+        // cfg.stft.hop_samples
+    frames = jnp.where(n >= total_samples, full, supported)
+    return jnp.minimum(frames, total_frames)
+
+
 def make_train_step(
     cfg: ExperimentConfig,
     model: Optional[EaBNetWithPostNet] = None,
@@ -97,7 +114,7 @@ def make_train_step(
         # backward pass instead of stored
         apply_model = jax.checkpoint(apply_model)
 
-    def loss_fn(params, batch_stats, noisy_wav, target_wav):
+    def loss_fn(params, batch_stats, noisy_wav, target_wav, n_samples):
         noisy_stft, target_stft = prepare_data(noisy_wav, target_wav,
                                                cfg.stft)
         target = from_reference_layout(target_stft)
@@ -120,16 +137,22 @@ def make_train_step(
             new_stats = batch_stats
         out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         mask = frame_mask(
-            jnp.full((noisy_stft.shape[0],), noisy_stft.shape[1]),
+            _valid_frames(n_samples, noisy_stft.shape[1], cfg,
+                          noisy_wav.shape[-1]),
             noisy_stft.shape[1],
         )
         losses = eabnet_with_postnet_loss(out, target, mask)
         return losses["final"], (losses, new_stats)
 
-    def train_step(state: TrainState, noisy_wav, target_wav):
+    def train_step(state: TrainState, noisy_wav, target_wav,
+                   n_samples=None):
+        if n_samples is None:
+            n_samples = jnp.full((noisy_wav.shape[0],),
+                                 noisy_wav.shape[-1], jnp.int32)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, noisy_wav, target_wav
+            state.params, state.batch_stats, noisy_wav, target_wav,
+            n_samples,
         )
         if cfg.model.freeze_eabnet:
             mask = _freeze_mask(state.params, "eabnet")
@@ -158,7 +181,10 @@ def make_eval_step(cfg: ExperimentConfig,
     )
 
     @jax.jit
-    def eval_step(state: TrainState, noisy_wav, target_wav):
+    def eval_step(state: TrainState, noisy_wav, target_wav, n_samples=None):
+        if n_samples is None:
+            n_samples = jnp.full((noisy_wav.shape[0],),
+                                 noisy_wav.shape[-1], jnp.int32)
         noisy_stft, target_stft = prepare_data(noisy_wav, target_wav,
                                                cfg.stft)
         target = from_reference_layout(target_stft)
@@ -167,7 +193,8 @@ def make_eval_step(cfg: ExperimentConfig,
             variables["batch_stats"] = state.batch_stats
         out = model.apply(variables, noisy_stft, train=False)
         mask = frame_mask(
-            jnp.full((noisy_stft.shape[0],), noisy_stft.shape[1]),
+            _valid_frames(n_samples, noisy_stft.shape[1], cfg,
+                          noisy_wav.shape[-1]),
             noisy_stft.shape[1],
         )
         losses = eabnet_with_postnet_loss(out, target, mask)

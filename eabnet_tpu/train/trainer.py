@@ -46,12 +46,27 @@ def _is_chief() -> bool:
     return jax.process_index() == 0
 
 
+def _all_processes_mean(local_sum: float, local_count: float) -> float:
+    """Global mean across hosts (the reference's all_reduce of the val
+    loss, train_distributed.py:119-120). No-op on a single process."""
+    if jax.process_count() == 1:
+        return local_sum / max(local_count, 1.0)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.array([local_sum, local_count])
+    )  # (n_processes, 2)
+    total = gathered.sum(axis=0)
+    return float(total[0] / max(float(total[1]), 1.0))
+
+
 def validate(cfg, state, eval_step, val_loader, logger, step):
-    """Validation pass: mean loss + audio examples
+    """Validation pass: per-process shard of the val set, globally
+    mean-reduced loss + audio examples
     (reference: evaluate, train_distributed.py:98-156)."""
     losses = []
-    for i, (noisy, target) in enumerate(val_loader.epoch(0)):
-        l, esti = eval_step(state, noisy, target)
+    for i, (noisy, target, n_samples) in enumerate(val_loader.epoch(0)):
+        l, esti = eval_step(state, noisy, target, n_samples)
         losses.append(float(l["final"]))
         if _is_chief() and i in cfg.train.example_index:
             esti_wav = np.asarray(
@@ -63,7 +78,11 @@ def validate(cfg, state, eval_step, val_loader, logger, step):
             logger.audio(f"audio{i}/target", target[0], step, cfg.stft.sr)
             mag = np.linalg.norm(np.asarray(esti[0]), axis=-1)  # (T, F)
             logger.spectrogram(f"spec{i}/estimated", mag, step)
-    mean_loss = float(np.mean(losses)) if losses else float("nan")
+    mean_loss = (
+        _all_processes_mean(float(np.sum(losses)), float(len(losses)))
+        if losses or jax.process_count() > 1
+        else float("nan")
+    )
     if _is_chief():
         logger.scalars("valid", {"valid_loss": mean_loss}, step)
     return mean_loss
@@ -107,13 +126,18 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
     train_ds, val_ds = make_dataset(
         cfg.data, mics=cfg.model.eabnet.M, seed=cfg.train.seed
     )
+    pad_multiple = max(1, int(cfg.data.pad_to_seconds * cfg.stft.sr))
     train_loader = BatchLoader(
         train_ds, cfg.train.batch_size, num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch, shuffle=True, seed=cfg.train.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
+        pad_multiple=pad_multiple,
     )
     val_loader = (
-        BatchLoader(val_ds, 1, shuffle=False, drop_last=False)
+        BatchLoader(val_ds, 1, shuffle=False, drop_last=False,
+                    pad_multiple=pad_multiple,
+                    shard_index=jax.process_index(),
+                    shard_count=jax.process_count())
         if val_ds is not None
         else None
     )
@@ -132,10 +156,11 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
     window = {}
     t_last = time.time()
     for epoch in range(resume_epoch + 1, cfg.train.total_epoch):
-        for noisy, target in train_loader.epoch(epoch):
+        for noisy, target, n_samples in train_loader.epoch(epoch):
             noisy = jax.device_put(noisy, sharding)
             target = jax.device_put(target, sharding)
-            state, losses = train_step(state, noisy, target)
+            n_samples = jax.device_put(n_samples, sharding)
+            state, losses = train_step(state, noisy, target, n_samples)
             current_iter += 1
 
             if chief:

@@ -303,15 +303,37 @@ def test_online_dataset_and_loader(tmp_path, settings):
                          seed=3)
     batches = list(loader.epoch(0))
     assert len(batches) == 1
-    bn, bc = batches[0]
+    bn, bc, bl = batches[0]
     assert bn.shape[0] == 2 and bn.shape[1] == 9
     assert bc.shape[0] == 2
+    assert bl.shape == (2,) and (bl == bn.shape[-1]).all()
     # reproducibility across loader instances
     loader2 = BatchLoader(ds, batch_size=2, num_workers=0, shuffle=True,
                           seed=3)
-    bn2, bc2 = next(iter(loader2.epoch(0)))
+    bn2, bc2, _ = next(iter(loader2.epoch(0)))
     np.testing.assert_array_equal(bn, bn2)
     loader.close()
+
+
+def test_collate_pads_ragged_items_and_buckets():
+    from eabnet_tpu.data.datasets import _collate
+
+    rng = np.random.default_rng(0)
+    items = [
+        (rng.standard_normal((3, 1000)).astype(np.float32),
+         rng.standard_normal(1000).astype(np.float32)),
+        (rng.standard_normal((3, 1500)).astype(np.float32),
+         rng.standard_normal(1500).astype(np.float32)),
+    ]
+    noisy, clean, lengths = _collate(items, pad_multiple=400)
+    assert noisy.shape == (2, 3, 1600)     # 1500 rounded up to 400-multiple
+    assert clean.shape == (2, 1600)
+    np.testing.assert_array_equal(lengths, [1000, 1500])
+    # originals preserved, padding zero
+    np.testing.assert_array_equal(noisy[0, :, :1000], items[0][0])
+    assert np.all(noisy[0, :, 1000:] == 0)
+    np.testing.assert_array_equal(clean[1, :1500], items[1][1])
+    assert np.all(clean[1, 1500:] == 0)
 
 
 def test_fake_dataset_loader_sharded():

@@ -71,6 +71,71 @@ def test_stoi_clean_is_one_and_monotonic(rng, extended):
     assert scores[2] < 0.55
 
 
+# Pinned STOI/ESTOI regression vectors for this implementation on
+# deterministic signals (VERDICT r1 item 4: make a failing STOI regression
+# detectable). Not pystoi conformance values — the cross-check test below
+# asserts closeness to pystoi automatically wherever that is importable.
+STOI_GOLDEN = {
+    # noise level (x std units) -> (stoi, estoi)
+    0.1: (0.9984921277443658, 0.9816758254227955),
+    0.4: (0.9733394011493166, 0.8003064144072194),
+    1.6: (0.6547036819014083, 0.32117727059119755),
+}
+
+
+def _stoi_golden_signals():
+    sr = 16000
+    g = np.random.default_rng(2024)
+    x = _speechlike(sr * 3, sr, g)
+    noise = g.standard_normal(len(x))
+    return sr, x, noise
+
+
+def test_stoi_golden_regression():
+    sr, x, noise = _stoi_golden_signals()
+    for lvl, (want_stoi, want_estoi) in STOI_GOLDEN.items():
+        y = x + lvl * np.std(x) * noise
+        assert stoi(x, y, sr) == pytest.approx(want_stoi, abs=1e-9)
+        assert stoi(x, y, sr, extended=True) == pytest.approx(
+            want_estoi, abs=1e-9)
+
+
+def test_stoi_gain_invariance():
+    """The per-segment alpha normalization (STOI) and row/col
+    normalization (ESTOI) make a pure gain transparent."""
+    sr, x, _ = _stoi_golden_signals()
+    assert stoi(x, x * 3.7, sr) == pytest.approx(1.0, abs=1e-9)
+    assert stoi(x, x * 3.7, sr, extended=True) == pytest.approx(
+        1.0, abs=1e-6)
+    # envelope-domain metric: polarity inversion is also transparent
+    assert stoi(x, -x, sr) == pytest.approx(1.0, abs=1e-9)
+
+
+def _pystoi_available():
+    try:
+        import pystoi  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pystoi_available(),
+                    reason="pystoi not installed")
+def test_stoi_cross_check_against_pystoi():
+    """Wherever pystoi is importable, our scores must track it closely
+    across an SNR ladder (reference battery: test.py:83-84)."""
+    from pystoi import stoi as ref_stoi
+
+    sr, x, noise = _stoi_golden_signals()
+    for lvl in (0.1, 0.4, 1.6):
+        y = x + lvl * np.std(x) * noise
+        for extended in (False, True):
+            ours = stoi(x, y, sr, extended)
+            theirs = float(ref_stoi(x, y, sr, extended=extended))
+            assert ours == pytest.approx(theirs, abs=1e-3), (lvl, extended)
+
+
 def test_stoi_10k_native(rng):
     x = _speechlike(30000, 10000, rng)
     assert stoi(x, x, 10000) == pytest.approx(1.0, abs=0.01)

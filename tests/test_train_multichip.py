@@ -175,3 +175,89 @@ def test_freeze_eabnet():
         )
     )
     assert changed
+
+
+def test_ragged_batch_loss_matches_per_item():
+    """Padded + frame-masked ragged batch reproduces per-item execution.
+
+    With a causal norm (cLN), an item's outputs on frames whose analysis
+    window lies entirely inside its true samples are unaffected by batch
+    zero-padding, so the batch's masked global-mean loss must equal the
+    mask-count-weighted mean of the items' solo masked losses (the
+    reference's per-utterance frame masks, train_distributed.py:86-95,
+    EaBNet.py:627-640, exercised here with genuinely ragged lengths)."""
+    from eabnet_tpu.data.datasets import _collate
+    from eabnet_tpu.dsp import prepare_data
+    from eabnet_tpu.losses import eabnet_with_postnet_loss, frame_mask
+    from eabnet_tpu.models.eabnet import from_reference_layout
+
+    cfg = small_cfg()
+    cfg = ExperimentConfig(
+        model=ComposedConfig(
+            eabnet=EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1,
+                                norm_type="cLN"),
+            gagnet=GaGNetConfig(c=8, cd1=8, p=1, q=1, dilas=(1, 2),
+                                norm_type="cLN"),
+        ),
+        train=cfg.train,
+    )
+    model, state = create_train_state(cfg, jax.random.key(1))
+    eval_step = make_eval_step(cfg, model)
+
+    rng = np.random.default_rng(7)
+    m = cfg.model.eabnet.M
+    sr = cfg.stft.sr
+    hop, win = cfg.stft.hop_samples, cfg.stft.win_samples
+    n_long = int(cfg.train.wav_len * sr)          # 3200 samples
+    n_short = n_long - 6 * hop                    # 6 frames shorter
+    items = [
+        ((rng.standard_normal((m, n)) * 0.1).astype(np.float32),
+         (rng.standard_normal(n) * 0.1).astype(np.float32))
+        for n in (n_long, n_short)
+    ]
+
+    # ragged batch via the real collate path (zero-pad + true lengths)
+    noisy, target, lengths = _collate(items)
+    assert noisy.shape[-1] == n_long and list(lengths) == [n_long, n_short]
+    batch_losses, _ = eval_step(state, jnp.asarray(noisy),
+                                jnp.asarray(target), jnp.asarray(lengths))
+
+    # solo execution at true lengths, masked to the same valid frames the
+    # batch uses: all frames for the full-length item, fully-supported
+    # frames for the padded one
+    mask_counts = [1 + n_long // hop, 1 + (n_short - win) // hop]
+    solo_sums, solo_counts = [], []
+    for (ns, cl), k in zip(items, mask_counts):
+        nstft, tstft = prepare_data(jnp.asarray(ns[None]),
+                                    jnp.asarray(cl[None]), cfg.stft)
+        out = model.apply({"params": state.params}, nstft, train=False)
+        mask = frame_mask(jnp.array([k]), nstft.shape[1])
+        l = eabnet_with_postnet_loss(out, from_reference_layout(tstft),
+                                     mask)
+        solo_sums.append(float(l["final"]) * k)
+        solo_counts.append(k)
+
+    want = sum(solo_sums) / sum(solo_counts)
+    got = float(batch_losses["final"])
+    assert got == pytest.approx(want, rel=1e-5), (got, want)
+
+
+def test_multihost_val_reduction_math():
+    """Sharded val loaders partition the set; the cross-process mean of
+    (sum, count) pairs equals the unsharded mean
+    (reference: all_reduce of val loss, train_distributed.py:119-120)."""
+    from eabnet_tpu.data import BatchLoader, FakeDataset
+    from eabnet_tpu.train.trainer import _all_processes_mean
+
+    ds = FakeDataset(6, mics=2, seconds=0.1)
+    shards = [
+        BatchLoader(ds, 1, shuffle=False, drop_last=False,
+                    shard_index=i, shard_count=2)
+        for i in range(2)
+    ]
+    per_shard = [[float(b[1].mean()) for b in s.epoch(0)] for s in shards]
+    assert len(per_shard[0]) == len(per_shard[1]) == 3
+    # single-process path of the reducer
+    flat = per_shard[0] + per_shard[1]
+    got = _all_processes_mean(float(np.sum(flat)), float(len(flat)))
+    assert got == pytest.approx(np.mean(flat))
