@@ -151,7 +151,8 @@ def shoebox_rir(
         out[mi, : len(h)] = h
 
     if method == "hybrid" and rt60 is not None and max_order > 3:
-        out = apply_diffuse_tail(out, max_dist, rt60, fs, rng, c)
+        out = apply_diffuse_tail(out, max_dist, rt60, fs, rng, c,
+                                 volume=float(np.prod(room)))
     return out
 
 
@@ -162,13 +163,20 @@ def apply_diffuse_tail(
     fs: int,
     rng: Optional[np.random.Generator],
     c: float = SPEED_OF_SOUND,
+    volume: Optional[float] = None,
 ) -> np.ndarray:
-    """Append a Sabine-matched stochastic late tail after the ISM part.
+    """Append a Sabine-decay stochastic late tail after the truncated ISM.
 
-    The tail is white noise under an exponential envelope with the target
-    RT60 (-60 dB over rt60 seconds), level-matched to the RMS of the last
-    10 ms of the image-source response — continuing the decay where the
-    truncated ISM stops.
+    The tail is white noise under the *absolute* Polack diffuse-field
+    envelope: expected reverberant energy density E(t) = c/(4*pi*V) *
+    10^(-6 t / rt60) (t from source emission), i.e. per-sample RMS
+    sigma(t) = sqrt(c / (4 pi V fs)) * 10^(-3 t / rt60). Leveling the tail
+    from first principles — rather than from the trailing RMS of the
+    truncated order-3 image response, which undershoots the true late
+    field — keeps the measured RT60 of hybrid RIRs on the requested value
+    (validated quantitatively in tests/test_rir_golden.py). ``volume``
+    (m^3) is required for the absolute level; legacy calls without it fall
+    back to trailing-RMS matching.
     """
     if rng is None:
         rng = np.random.default_rng(0)
@@ -180,10 +188,14 @@ def apply_diffuse_tail(
     full = np.zeros((m, length), np.float32)
     full[:, :ism_len] = out
     t = np.arange(length - t_switch)
-    env = np.exp(decay * t)
+    env = np.exp(decay * (t + t_switch))
     for mi in range(m):
-        seg = full[mi, max(0, t_switch - fs // 100) : t_switch + 1]
-        level = float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+        if volume is not None:
+            level = math.sqrt(c / (4.0 * math.pi * volume * fs))
+        else:
+            seg = full[mi, max(0, t_switch - fs // 100) : t_switch + 1]
+            level = float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+            level /= math.exp(decay * t_switch) or 1.0
         if level <= 0.0:
             continue
         full[mi, t_switch:] += (

@@ -120,5 +120,8 @@ def shoebox_rir_native(
         # used = max(floor(delay)) + FDL//2 + 1 -> recover the farthest
         # image distance for the tail switch point
         max_dist = (used - 81 // 2 - 1) * c / fs
-        out = apply_diffuse_tail(out, max_dist, rt60, fs, rng, c)
+        out = apply_diffuse_tail(
+            out, max_dist, rt60, fs, rng, c,
+            volume=float(np.prod(np.asarray(room_dim, np.float64))),
+        )
     return out
