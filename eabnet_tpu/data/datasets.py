@@ -30,6 +30,18 @@ from eabnet_tpu.data.scenes import load_settings, sample_scene
 from eabnet_tpu.utils.audio_io import read_wav, resample
 
 
+def _read_noise_names(
+    opt: Dict, noise_paths: Sequence[str], rng: np.random.Generator
+) -> List[str]:
+    """Draw the per-item noise files (count from the settings range)."""
+    lo, hi = opt["noise"]["n"]
+    k = int(rng.integers(lo, hi + 1))
+    return [
+        noise_paths[int(i)]
+        for i in rng.integers(0, len(noise_paths), size=k)
+    ]
+
+
 def load_and_crop(
     path: str,
     target_fs: int,
@@ -84,12 +96,7 @@ def synthesize_item(
     # choose noises first so the scene knows how many sources it needs
     names = specific.get("noise_name_list")
     if names is None:
-        lo, hi = opt["noise"]["n"]
-        k = int(rng.integers(lo, hi + 1))
-        names = [
-            noise_paths[int(i)]
-            for i in rng.integers(0, len(noise_paths), size=k)
-        ]
+        names = _read_noise_names(opt, noise_paths, rng)
     scene = sample_scene(
         opt, rng, n_noises_override=len(names), specific=specific
     )

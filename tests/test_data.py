@@ -344,3 +344,37 @@ def test_fake_dataset_loader_sharded():
     b1 = list(l1.epoch(0))
     assert len(b0) == len(b1) == 2
     assert np.abs(b0[0][0] - b1[0][0]).max() > 0  # different shards
+
+
+def test_device_mix_matches_host_synthesis(tmp_path, settings):
+    """Device-side batched FFT propagation reproduces the host pipeline
+    bit-near-exactly for the same per-item seeds (VERDICT r1 item 7)."""
+    from eabnet_tpu.data.device_mix import (
+        device_mix_batch,
+        synthesize_item_parts,
+    )
+
+    sp_dir, no_dir = _write_fake_corpus(tmp_path)
+    opt = load_settings(settings)
+    paths = sorted(str(p) for p in no_dir.iterdir())
+
+    seeds = [123, 124]
+    host = [
+        synthesize_item(opt, 1.0, str(sp_dir / "sp0.wav"), paths, seed=s)
+        for s in seeds
+    ]
+    parts = [
+        synthesize_item_parts(opt, 1.0, str(sp_dir / "sp0.wav"), paths,
+                              seed=s)
+        for s in seeds
+    ]
+    noisy, clean = device_mix_batch(parts)
+    assert noisy.shape == (2, 9, 16000)
+    assert clean.shape == (2, 16000)
+    for i, (h_noisy, h_clean) in enumerate(host):
+        scale = np.abs(h_noisy).max()
+        np.testing.assert_allclose(noisy[i], h_noisy,
+                                   atol=2e-5 * scale, rtol=1e-4)
+        np.testing.assert_allclose(clean[i], h_clean,
+                                   atol=2e-5 * np.abs(h_clean).max(),
+                                   rtol=1e-4)
