@@ -152,6 +152,10 @@ class DataConfig:
     # seconds (shape buckets bound jit recompiles); true lengths flow into
     # the losses' frame masks
     pad_to_seconds: float = 1.0
+    # online synthesis: host workers produce dry sources + RIRs only and the
+    # room propagation runs on-device as one jitted batched FFT program
+    # (data/device_mix.py) — ~5x fewer loader workers needed
+    device_mix: bool = False
     rir_backend: str = "auto"         # "auto" | "native" | "numpy"
     # l3das23 backend (reference: train_distributed.py:322-327)
     training_predictors_path: str = ""
@@ -180,7 +184,14 @@ class TrainConfig:
     validate_once_before_train: bool = False
     compute_dtype: str = "float32"    # "float32" | "bfloat16"
     mesh_axes: Tuple[str, ...] = ("data",)
-    remat: bool = False               # rematerialize the model in backward
+    remat: bool = False               # legacy alias for remat_policy="full"
+    # rematerialization policy for the backward pass:
+    #   ""      - store all activations (XLA default; fastest in clean
+    #             A/B-interleaved v5e measurements)
+    #   "dots"  - save matmul/conv outputs only, recompute elementwise ops
+    #             (norms/gates/PReLU) — lower HBM watermark, ~10-20% slower
+    #   "full"  - save only the layer boundary (max memory savings)
+    remat_policy: str = ""
                                       # (trades FLOPs for HBM headroom)
 
 

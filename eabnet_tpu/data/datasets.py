@@ -218,6 +218,13 @@ def _worker_synthesize(args: Dict):
     return synthesize_item(**args)
 
 
+def _worker_synthesize_parts(args: Dict):
+    from eabnet_tpu.data.device_mix import synthesize_item_parts
+
+    args = {k: v for k, v in args.items() if k != "specific"}
+    return synthesize_item_parts(**args)
+
+
 class BatchLoader:
     """Multiprocess prefetching batch iterator.
 
@@ -231,10 +238,13 @@ class BatchLoader:
                  prefetch: int = 4, drop_last: bool = True,
                  shuffle: bool = True, seed: int = 0,
                  shard_index: int = 0, shard_count: int = 1,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, device_mix: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.pad_multiple = max(1, int(pad_multiple))
+        # device_mix: workers produce dry sources + RIRs; room propagation
+        # runs on-device per batch (data/device_mix.py)
+        self.device_mix = device_mix and hasattr(dataset, "item_args")
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
@@ -285,11 +295,13 @@ class BatchLoader:
 
             inflight = deque()
 
+            worker = (_worker_synthesize_parts if self.device_mix
+                      else _worker_synthesize)
+
             def submit(batch_idx):
                 inflight.append([
                     self._pool.submit(
-                        _worker_synthesize,
-                        self.ds.item_args(int(i), epoch),
+                        worker, self.ds.item_args(int(i), epoch)
                     )
                     for i in batches[batch_idx]
                 ])
@@ -303,12 +315,28 @@ class BatchLoader:
                 if head < nb:
                     submit(head)
                     head += 1
-                yield _collate([f.result() for f in fs],
-                               self.pad_multiple)
+                yield self._finish([f.result() for f in fs])
         else:
             for b in batches:
-                yield _collate([self.ds[int(i)] for i in b],
-                               self.pad_multiple)
+                if self.device_mix:
+                    yield self._finish([
+                        _worker_synthesize_parts(
+                            self.ds.item_args(int(i), epoch)
+                        )
+                        for i in b
+                    ])
+                else:
+                    yield _collate([self.ds[int(i)] for i in b],
+                                   self.pad_multiple)
+
+    def _finish(self, results) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if not self.device_mix:
+            return _collate(results, self.pad_multiple)
+        from eabnet_tpu.data.device_mix import device_mix_batch
+
+        noisy, clean = device_mix_batch(results)
+        lengths = np.full((noisy.shape[0],), noisy.shape[-1], np.int32)
+        return noisy, clean, lengths
 
     def close(self):
         if self._pool is not None:

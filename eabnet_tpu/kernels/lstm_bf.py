@@ -34,7 +34,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_BLOCK = 704  # max lanes per block (VMEM-bound; see _pick_lane_block)
+# Max lanes per grid block. The limits differ because the backward streams
+# 12 arrays per step (states at t and t-1, cotangents, dgates out) against
+# the 16 MB scoped-VMEM budget, while the forward streams only 5 — so the
+# forward can take ~3x more lanes per block. Sequences stream in the
+# PRIMAL dtype (bf16 under mixed-precision training, halving scoped VMEM
+# and HBM traffic; compute and carried state stay f32), so the bf16 limit
+# is twice the f32 one — at batch 8 (1288 lanes) both kernels then run in
+# ONE lane block (grid = T instead of 2T).
+LANE_BLOCK = 2048            # forward
+BWD_LANE_BLOCK = 704         # backward, f32 sequences
+BWD_LANE_BLOCK_BF16 = 1536   # backward, bf16 sequences
 
 
 def _lstm_gates(gates, c_prev):
@@ -55,14 +65,16 @@ def _fwd_kernel(xw1_ref, w_hh1_ref, w2_ref, b2_ref,
         h2[:] = jnp.zeros_like(h2)
         c2[:] = jnp.zeros_like(c2)
 
-    gates1 = xw1_ref[0] + jnp.dot(
-        h1[:], w_hh1_ref[:], preferred_element_type=jnp.float32
+    wdt = w_hh1_ref.dtype  # matmul operand dtype (bf16 under mixed prec)
+    gates1 = xw1_ref[0].astype(jnp.float32) + jnp.dot(
+        h1[:].astype(wdt), w_hh1_ref[:],
+        preferred_element_type=jnp.float32,
     )
     h1_new, c1_new = _lstm_gates(gates1, c1[:])
 
     # layer 2: one fused matmul [h1_new, h2] @ [[W_ih2], [W_hh2]]
-    hh = jnp.concatenate([h1_new, h2[:]], axis=-1)
-    gates2 = b2_ref[:] + jnp.dot(
+    hh = jnp.concatenate([h1_new, h2[:]], axis=-1).astype(wdt)
+    gates2 = b2_ref[:].astype(jnp.float32) + jnp.dot(
         hh, w2_ref[:], preferred_element_type=jnp.float32
     )
     h2_new, c2_new = _lstm_gates(gates2, c2[:])
@@ -71,10 +83,10 @@ def _fwd_kernel(xw1_ref, w_hh1_ref, w2_ref, b2_ref,
     c1[:] = c1_new
     h2[:] = h2_new
     c2[:] = c2_new
-    h1_out[0] = h1_new
-    c1_out[0] = c1_new
-    h2_out[0] = h2_new
-    c2_out[0] = c2_new
+    h1_out[0] = h1_new.astype(h1_out.dtype)
+    c1_out[0] = c1_new.astype(c1_out.dtype)
+    h2_out[0] = h2_new.astype(h2_out.dtype)
+    c2_out[0] = c2_new.astype(c2_out.dtype)
 
 
 def _cell_bwd(dh, dc, c_prev, c_new, gates):
@@ -120,60 +132,61 @@ def _bwd_kernel(
         for a in (aw_hh1, aw_ih2, aw_hh2, ab2):
             a[:] = jnp.zeros_like(a)
 
-    h1_t, c1_t = h1_ref[0], c1_ref[0]
-    c2_t = c2_ref[0]
+    wdt = w_hh1_ref.dtype  # matmul operand dtype (bf16 under mixed prec)
+    f32 = jnp.float32
+    h1_t, c1_t = h1_ref[0].astype(f32), c1_ref[0].astype(f32)
+    c2_t = c2_ref[0].astype(f32)
     # at t == 0 the "previous" state is the zero initial state
-    not_t0 = jnp.float32(jnp.logical_not(is_last))
-    h1_p = h1p_ref[0] * not_t0
-    c1_p = c1p_ref[0] * not_t0
-    h2_p = h2p_ref[0] * not_t0
-    c2_p = c2p_ref[0] * not_t0
+    not_t0 = f32(jnp.logical_not(is_last))
+    h1_p = h1p_ref[0].astype(f32) * not_t0
+    c1_p = c1p_ref[0].astype(f32) * not_t0
+    h2_p = h2p_ref[0].astype(f32) * not_t0
+    c2_p = c2p_ref[0].astype(f32) * not_t0
 
     # --- recompute the pre-activation gates (cheap MXU work) ------------
-    gates1 = xw1_ref[0] + jnp.dot(
-        h1_p, w_hh1_ref[:], preferred_element_type=jnp.float32
+    gates1 = xw1_ref[0].astype(f32) + jnp.dot(
+        h1_p.astype(wdt), w_hh1_ref[:], preferred_element_type=f32
     )
     gates2 = (
-        jnp.dot(h1_t, w_ih2_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(h2_p, w_hh2_ref[:], preferred_element_type=jnp.float32)
-        + b2_ref[:]
+        jnp.dot(h1_t.astype(wdt), w_ih2_ref[:], preferred_element_type=f32)
+        + jnp.dot(h2_p.astype(wdt), w_hh2_ref[:],
+                  preferred_element_type=f32)
+        + b2_ref[:].astype(f32)
     )
 
     # --- layer 2 backward -------------------------------------------------
-    dh2 = dy_ref[0] + dh2_s[:]
+    dh2 = dy_ref[0].astype(f32) + dh2_s[:]
     dgates2, dc2_new = _cell_bwd(dh2, dc2_s[:], c2_p, c2_t, gates2)
     dc2_s[:] = dc2_new
-    dh2_s[:] = jnp.dot(
-        dgates2, w_hh2_ref[:].T, preferred_element_type=jnp.float32
-    )
+    dg2 = dgates2.astype(wdt)
+    dh2_s[:] = jnp.dot(dg2, w_hh2_ref[:].T, preferred_element_type=f32)
 
     # --- layer 1 backward -------------------------------------------------
     dh1 = dh1_s[:] + jnp.dot(
-        dgates2, w_ih2_ref[:].T, preferred_element_type=jnp.float32
+        dg2, w_ih2_ref[:].T, preferred_element_type=f32
     )
     dgates1, dc1_new = _cell_bwd(dh1, dc1_s[:], c1_p, c1_t, gates1)
     dc1_s[:] = dc1_new
-    dh1_s[:] = jnp.dot(
-        dgates1, w_hh1_ref[:].T, preferred_element_type=jnp.float32
-    )
+    dg1 = dgates1.astype(wdt)
+    dh1_s[:] = jnp.dot(dg1, w_hh1_ref[:].T, preferred_element_type=f32)
 
-    dxw1_ref[0] = dgates1
+    dxw1_ref[0] = dgates1.astype(dxw1_ref.dtype)
 
     # weight-gradient accumulation (tiny MXU outer products in VMEM)
-    aw_hh1[:] += jnp.dot(h1_p.T, dgates1,
-                         preferred_element_type=jnp.float32)
-    aw_ih2[:] += jnp.dot(h1_t.T, dgates2,
-                         preferred_element_type=jnp.float32)
-    aw_hh2[:] += jnp.dot(h2_p.T, dgates2,
-                         preferred_element_type=jnp.float32)
+    aw_hh1[:] += jnp.dot(h1_p.astype(wdt).T, dg1,
+                         preferred_element_type=f32)
+    aw_ih2[:] += jnp.dot(h1_t.astype(wdt).T, dg2,
+                         preferred_element_type=f32)
+    aw_hh2[:] += jnp.dot(h2_p.astype(wdt).T, dg2,
+                         preferred_element_type=f32)
     ab2[:] += jnp.sum(dgates2, axis=0, keepdims=True)
 
     @pl.when(jnp.logical_and(is_last, li == pl.num_programs(0) - 1))
     def _():
-        dw_hh1_ref[:] = aw_hh1[:]
-        dw_ih2_ref[:] = aw_ih2[:]
-        dw_hh2_ref[:] = aw_hh2[:]
-        db2_ref[:] = ab2[:]
+        dw_hh1_ref[:] = aw_hh1[:].astype(dw_hh1_ref.dtype)
+        dw_ih2_ref[:] = aw_ih2[:].astype(dw_ih2_ref.dtype)
+        dw_hh2_ref[:] = aw_hh2[:].astype(dw_hh2_ref.dtype)
+        db2_ref[:] = ab2[:].astype(db2_ref.dtype)
 
 
 def _lane_pad(x, lb):
@@ -185,12 +198,13 @@ def _lane_pad(x, lb):
     return x
 
 
-def _pick_lane_block(l: int) -> int:
+def _pick_lane_block(l: int, limit: int = None) -> int:
     """Fewest lane blocks whose size fits VMEM, sizes rounded to the
     sublane multiple to minimize padding waste."""
-    if l <= LANE_BLOCK:
+    limit = limit or LANE_BLOCK
+    if l <= limit:
         return l
-    nl = -(-l // LANE_BLOCK)
+    nl = -(-l // limit)
     lb = -(-l // nl)
     return ((lb + 7) // 8) * 8
 
@@ -217,7 +231,7 @@ def _run_fwd_kernel(xw1, w_hh1, w2, b2, interpret):
     lp = xw1.shape[1]
     nl = lp // lb
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    seq = jax.ShapeDtypeStruct((t, lp, h), jnp.float32)
+    seq = jax.ShapeDtypeStruct((t, lp, h), xw1.dtype)
     outs = pl.pallas_call(
         _fwd_kernel,
         grid=(nl, t),
@@ -253,18 +267,25 @@ def _double_lstm_fwd(xw1, w_hh1, w_ih2, w_hh2, b2, interpret):
 def _double_lstm_bwd(interpret, res, dy):
     xw1, w_hh1, w_ih2, w_hh2, b2, h1s, c1s, h2s, c2s = res
     l = xw1.shape[1]
-    t, lp, h = h2s.shape  # residuals are already lane-padded
-    lb = _pick_lane_block(l)
+    t, fwd_lp, h = h2s.shape  # residuals are lane-padded to the fwd block
+    sdt = xw1.dtype
+    bwd_limit = (BWD_LANE_BLOCK_BF16 if sdt == jnp.bfloat16
+                 else BWD_LANE_BLOCK)
+    lb = _pick_lane_block(l, bwd_limit)
+    h1s, c1s, h2s, c2s = (
+        _lane_pad(a[:, :l], lb) for a in (h1s, c1s, h2s, c2s)
+    )
+    lp = h1s.shape[1]
     nl = lp // lb
     xw1_p = _lane_pad(xw1, lb)
     # padded lanes carry zero cotangents -> zero dgates -> no grad leakage
-    dy_p = _lane_pad(dy.astype(jnp.float32), lb)
+    dy_p = _lane_pad(dy.astype(sdt), lb)
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     at_t = functools.partial(_time_spec, lb, t, reverse=True, shift=0)
     at_p = functools.partial(_time_spec, lb, t, reverse=True, shift=1)
 
-    wshape = jax.ShapeDtypeStruct((h, 4 * h), jnp.float32)
+    wshape = jax.ShapeDtypeStruct((h, 4 * h), w_hh1.dtype)
     dxw1, dw_hh1, dw_ih2, dw_hh2, db2 = pl.pallas_call(
         _bwd_kernel,
         grid=(nl, t),
@@ -282,15 +303,19 @@ def _double_lstm_bwd(interpret, res, dy):
             vmem(), vmem(), vmem(), vmem(),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, lp, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((t, lp, 4 * h), sdt),
             wshape, wshape, wshape,
-            jax.ShapeDtypeStruct((1, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * h), b2.dtype),
         ),
         scratch_shapes=(
             [pltpu.VMEM((lb, h), jnp.float32)] * 4
             + [pltpu.VMEM((h, 4 * h), jnp.float32)] * 3
             + [pltpu.VMEM((1, 4 * h), jnp.float32)]
         ),
+        # one-lane-block bf16 at batch 8 sits ~1% above the default 16 MB
+        # scoped-VMEM budget; v5e has 128 MB of VMEM, so raise the cap
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(
         xw1_p, dy_p,
@@ -316,9 +341,12 @@ def lstm_bf_pallas(params: Dict, x: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     p1, p2 = params["rnn1"], params["rnn2"]
 
-    # hoisted layer-1 input projection: one (L*T, C) @ (C, 4H) matmul
+    # hoisted layer-1 input projection: one (L*T, C) @ (C, 4H) matmul.
+    # Sequences keep the primal dtype: f32 inputs run the exact path,
+    # bf16 (mixed-precision training) halves every kernel stream while the
+    # carried state and all accumulations stay f32 inside the kernels.
     xw1 = x @ p1["w_ih"] + (p1["b_ih"] + p1["b_hh"])
-    xw1 = jnp.transpose(xw1, (1, 0, 2)).astype(jnp.float32)  # (T, L, 4H)
+    xw1 = jnp.transpose(xw1, (1, 0, 2))  # (T, L, 4H)
     b2 = p2["b_ih"] + p2["b_hh"]
 
     h2_seq = _double_lstm(xw1, p1["w_hh"], p2["w_ih"], p2["w_hh"], b2,

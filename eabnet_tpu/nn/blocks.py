@@ -56,10 +56,12 @@ class GateConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = causal_pad_t(x, self.kernel[0])
+        # causal left-pad expressed as conv-native asymmetric padding —
+        # identical math to an explicit jnp.pad + VALID, but XLA never
+        # materializes the padded copy in HBM
         y = nn.Conv(
             2 * self.out_ch, self.kernel, strides=self.stride,
-            padding="VALID", name="conv",
+            padding=((self.kernel[0] - 1, 0), (0, 0)), name="conv",
         )(x)
         out, gate = jnp.split(y, 2, axis=-1)
         return out * nn.sigmoid(gate)
@@ -95,8 +97,8 @@ class Conv2dUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = causal_pad_t(x, self.kernel[0])
-        x = nn.Conv(self.ch, self.kernel, strides=(1, 2), padding="VALID",
+        x = nn.Conv(self.ch, self.kernel, strides=(1, 2),
+                    padding=((self.kernel[0] - 1, 0), (0, 0)),
                     name="conv")(x)
         x = NormSwitch(self.norm_type, self.ch, name="norm")(x, train)
         return PReLU(self.ch, name="act")(x)
@@ -294,13 +296,10 @@ class SqueezedTCM(nn.Module):
             h = PReLU(self.cd1, name=f"{name}_act")(h)
             h = NormSwitch(self.norm_type, self.cd1,
                            name=f"{name}_norm")(h, train)
-            if self.is_causal:
-                h = causal_pad_t(h, self.kd1, self.dilation)
-            else:
-                p = (self.kd1 - 1) * self.dilation // 2
-                h = jnp.pad(h, ((0, 0), (p, p), (0, 0)))
+            full = (self.kd1 - 1) * self.dilation
+            pad = (full, 0) if self.is_causal else (full // 2, full // 2)
             return nn.Conv(
-                self.cd1, (self.kd1,), padding="VALID",
+                self.cd1, (self.kd1,), padding=(pad,),
                 kernel_dilation=(self.dilation,), use_bias=False,
                 name=f"{name}_conv",
             )(h)

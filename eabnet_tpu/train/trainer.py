@@ -131,7 +131,7 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
         train_ds, cfg.train.batch_size, num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch, shuffle=True, seed=cfg.train.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
-        pad_multiple=pad_multiple,
+        pad_multiple=pad_multiple, device_mix=cfg.data.device_mix,
     )
     val_loader = (
         BatchLoader(val_ds, 1, shuffle=False, drop_last=False,

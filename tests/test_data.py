@@ -378,3 +378,31 @@ def test_device_mix_matches_host_synthesis(tmp_path, settings):
         np.testing.assert_allclose(clean[i], h_clean,
                                    atol=2e-5 * np.abs(h_clean).max(),
                                    rtol=1e-4)
+
+
+def test_loader_device_mix_matches_host_path(tmp_path, settings):
+    """BatchLoader(device_mix=True) yields the same batches as the host
+    synthesis path (same per-item seeds drive both)."""
+    sp_dir, no_dir = _write_fake_corpus(tmp_path)
+    cfg = DataConfig(
+        dataset="mcse",
+        speech_root=str(sp_dir),
+        noise_root=str(no_dir),
+        speech_list=str(tmp_path / "speech_list.txt"),
+        noise_list=str(tmp_path / "noise_list.txt"),
+        mcse_settings=settings,
+        clip_seconds=1.0,
+    )
+    from eabnet_tpu.data import OnlineMcseDataset
+
+    ds = OnlineMcseDataset(cfg, seed=5)
+    host = BatchLoader(ds, batch_size=2, shuffle=False)
+    dev = BatchLoader(ds, batch_size=2, shuffle=False, device_mix=True)
+    (hn, hc, hl), = list(host.epoch(0))
+    (dn, dc, dl), = list(dev.epoch(0))
+    assert dn.shape == hn.shape and dc.shape == hc.shape
+    np.testing.assert_array_equal(hl, dl)
+    scale = np.abs(hn).max()
+    np.testing.assert_allclose(dn, hn, atol=2e-5 * scale, rtol=1e-4)
+    np.testing.assert_allclose(dc, hc, atol=2e-5 * np.abs(hc).max(),
+                               rtol=1e-4)

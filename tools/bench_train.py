@@ -78,23 +78,44 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
+    # min over many short rounds: the chip is time-shared behind the
+    # tunnel, so the minimum is the closest estimate of dedicated-chip
+    # performance (median inflates with other tenants' load)
     ts = []
-    for _ in range(5):
+    for _ in range(20):
         cur = state
         t0 = time.perf_counter()
         for _ in range(args.k):
             cur, losses = step(cur, noisy, target)
         fetch(losses["final"])
         ts.append(time.perf_counter() - t0)
-    per_step = (float(np.median(ts)) - rtt) / args.k
+    per_step = (float(np.min(ts)) - rtt) / args.k
+    per_step_med = (float(np.median(ts)) - rtt) / args.k
 
     sps = 1.0 / per_step
     audio_per_sec = args.batch * cfg.train.wav_len * sps
+
+    # MFU from XLA's own FLOP estimate of the compiled step
+    mfu_txt = ""
+    try:
+        ca = step.lower(state, noisy, target).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", float("nan")))
+        # bf16 peak of one TPU v5e chip; f32 runs at half that
+        peak = 197e12 if args.compute_dtype == "bfloat16" else 98.5e12
+        mfu = flops / per_step / peak * 100.0
+        mfu_txt = (f", {flops / 1e9:.0f} GFLOP/step -> "
+                   f"{mfu:.1f}% MFU (v5e)")
+    except Exception:
+        pass
     print(
         f"batch {args.batch} ({args.compute_dtype}): "
-        f"{per_step * 1000:.1f} ms/step, {sps:.2f} steps/s, "
+        f"{per_step * 1000:.1f} ms/step "
+        f"(median {per_step_med * 1000:.1f} under tenant load), "
+        f"{sps:.2f} steps/s, "
         f"{audio_per_sec:.0f} audio-sec/s "
         f"({audio_per_sec / 3600:.2f} h of audio per wall-second)"
+        f"{mfu_txt}"
     )
 
 
