@@ -114,6 +114,12 @@ def main():
         module, apply_kw = module_fn()
         variables = module.init(key, jnp.asarray(
             np.zeros(init_shape or shape, np.float32), dtype), **apply_kw)
+        # mirror the train step: params are cast to the compute dtype inside
+        # the grad fn (train/step.py), else bf16 inputs silently promote the
+        # whole stage back to f32 and we time the wrong path
+        variables = jax.tree.map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+            variables)
 
         def fwd(x_, params):
             return module.apply(params, x_, **apply_kw)
@@ -168,9 +174,13 @@ def main():
             rng.standard_normal((b, t, f, 2 * m)).astype(np.float32), dtype)
         ev = enc.init(key, x0, train=True)
         bott, skips = enc.apply(ev, x0, train=True)
+        bott = bott.astype(dtype)
+        skips = [s.astype(dtype) for s in skips]
         dec = U2NetDecoder(ecfg.embed_dim, ecfg.c, ecfg.k1, ecfg.k2,
                            ecfg.intra_connect, ecfg.norm_type)
         dv = dec.init(key, bott, skips, train=True)
+        dv = jax.tree.map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, dv)
 
         def dfwd(x_, params):
             return dec.apply(params, x_, skips, train=True)
@@ -195,6 +205,8 @@ def main():
             rng.standard_normal((b, t, f, 2)).astype(np.float32) * 0.1,
             dtype)
         gv = gag.init(key, xin, pre, train=True)
+        gv = jax.tree.map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, gv)
 
         def gfwd(x_, params):
             return gag.apply(params, x_, pre, train=True)
