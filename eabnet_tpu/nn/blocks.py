@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from eabnet_tpu.nn.norms import NormSwitch, PReLU
+from eabnet_tpu.nn.phase_conv import PhaseFreqDownConv, PhaseFreqUpConv
 
 
 def causal_pad_t(x: jnp.ndarray, k_t: int, dilation: int = 1) -> jnp.ndarray:
@@ -53,16 +54,23 @@ class GateConv2d(nn.Module):
     out_ch: int
     kernel: Tuple[int, int]
     stride: Tuple[int, int]
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # causal left-pad expressed as conv-native asymmetric padding —
-        # identical math to an explicit jnp.pad + VALID, but XLA never
-        # materializes the padded copy in HBM
-        y = nn.Conv(
-            2 * self.out_ch, self.kernel, strides=self.stride,
-            padding=((self.kernel[0] - 1, 0), (0, 0)), name="conv",
-        )(x)
+        if self.impl == "phase" and self.stride == (1, 2):
+            # polyphase decomposition: stride-1 convs over the even/odd
+            # freq phases, so fwd AND bwd stay off TPU's dilated-conv path
+            y = PhaseFreqDownConv(2 * self.out_ch, self.kernel,
+                                  name="conv")(x)
+        else:
+            # causal left-pad expressed as conv-native asymmetric padding —
+            # identical math to an explicit jnp.pad + VALID, but XLA never
+            # materializes the padded copy in HBM
+            y = nn.Conv(
+                2 * self.out_ch, self.kernel, strides=self.stride,
+                padding=((self.kernel[0] - 1, 0), (0, 0)), name="conv",
+            )(x)
         out, gate = jnp.split(y, 2, axis=-1)
         return out * nn.sigmoid(gate)
 
@@ -74,14 +82,19 @@ class GateConvTranspose2d(nn.Module):
     out_ch: int
     kernel: Tuple[int, int]
     stride: Tuple[int, int]
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.ConvTranspose(
-            2 * self.out_ch, self.kernel, strides=self.stride,
-            padding="VALID", name="conv",
-        )(x)
-        y = chomp_t(y, self.kernel[0] - 1)
+        if self.impl == "phase" and self.stride == (1, 2):
+            y = PhaseFreqUpConv(2 * self.out_ch, self.kernel,
+                                name="conv")(x)  # chomp folded in
+        else:
+            y = nn.ConvTranspose(
+                2 * self.out_ch, self.kernel, strides=self.stride,
+                padding="VALID", name="conv",
+            )(x)
+            y = chomp_t(y, self.kernel[0] - 1)
         out, gate = jnp.split(y, 2, axis=-1)
         return out * nn.sigmoid(gate)
 
@@ -94,12 +107,16 @@ class Conv2dUnit(nn.Module):
     kernel: Tuple[int, int]
     ch: int
     norm_type: str
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.ch, self.kernel, strides=(1, 2),
-                    padding=((self.kernel[0] - 1, 0), (0, 0)),
-                    name="conv")(x)
+        if self.impl == "phase":
+            x = PhaseFreqDownConv(self.ch, self.kernel, name="conv")(x)
+        else:
+            x = nn.Conv(self.ch, self.kernel, strides=(1, 2),
+                        padding=((self.kernel[0] - 1, 0), (0, 0)),
+                        name="conv")(x)
         x = NormSwitch(self.norm_type, self.ch, name="norm")(x, train)
         return PReLU(self.ch, name="act")(x)
 
@@ -112,12 +129,16 @@ class Deconv2dUnit(nn.Module):
     kernel: Tuple[int, int]
     ch: int
     norm_type: str
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.ConvTranspose(self.ch, self.kernel, strides=(1, 2),
-                             padding="VALID", name="conv")(x)
-        x = chomp_t(x, self.kernel[0] - 1)
+        if self.impl == "phase":
+            x = PhaseFreqUpConv(self.ch, self.kernel, name="conv")(x)
+        else:
+            x = nn.ConvTranspose(self.ch, self.kernel, strides=(1, 2),
+                                 padding="VALID", name="conv")(x)
+            x = chomp_t(x, self.kernel[0] - 1)
         x = NormSwitch(self.norm_type, self.ch, name="norm")(x, train)
         return PReLU(self.ch, name="act")(x)
 
@@ -144,24 +165,26 @@ class EnUnetModule(nn.Module):
     norm_type: str
     scale: int
     is_deconv: bool = False
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         conv_cls = GateConvTranspose2d if self.is_deconv else GateConv2d
-        x = conv_cls(self.cout, self.k1, (1, 2), name="in_conv")(x)
+        x = conv_cls(self.cout, self.k1, (1, 2), impl=self.impl,
+                     name="in_conv")(x)
         x = NormSwitch(self.norm_type, self.cout, name="in_norm")(x, train)
         x = PReLU(self.cout, name="in_act")(x)
         x_resi = x
         skips = []
         for i in range(self.scale):
             x = Conv2dUnit(self.k2, self.cout, self.norm_type,
-                           name=f"enco_{i}")(x, train)
+                           impl=self.impl, name=f"enco_{i}")(x, train)
             skips.append(x)
         for i in range(self.scale):
             if i > 0:
                 x = skip_connect(x, skips[-(i + 1)], self.intra_connect)
             x = Deconv2dUnit(self.k2, self.cout, self.norm_type,
-                             name=f"deco_{i}")(x, train)
+                             impl=self.impl, name=f"deco_{i}")(x, train)
         return x_resi + x
 
 
@@ -176,6 +199,7 @@ class U2NetEncoder(nn.Module):
     norm_type: str
     c_end: int = 64
     k_beg: Tuple[int, int] = (2, 5)
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,9 +207,11 @@ class U2NetEncoder(nn.Module):
         for i, scale in enumerate((4, 3, 2, 1)):
             k = self.k_beg if i == 0 else self.k1
             x = EnUnetModule(self.c, k, self.k2, self.intra_connect,
-                             self.norm_type, scale, name=f"unet_{i}")(x, train)
+                             self.norm_type, scale, impl=self.impl,
+                             name=f"unet_{i}")(x, train)
             skips.append(x)
-        x = GateConv2d(self.c_end, self.k1, (1, 2), name="last_conv")(x)
+        x = GateConv2d(self.c_end, self.k1, (1, 2), impl=self.impl,
+                       name="last_conv")(x)
         x = NormSwitch(self.norm_type, self.c_end, name="last_norm")(x, train)
         x = PReLU(self.c_end, name="last_act")(x)
         skips.append(x)
@@ -206,6 +232,7 @@ class UNetEncoder(nn.Module):
     c_end: int = 64
     k_beg: Tuple[int, int] = (2, 5)
     norm_stages: Tuple[bool, ...] = (True, False, False, True, True)
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,7 +240,8 @@ class UNetEncoder(nn.Module):
         for i in range(5):
             ch = self.c_end if i == 4 else self.c
             k = self.k_beg if i == 0 else self.k1
-            x = GateConv2d(ch, k, (1, 2), name=f"conv_{i}")(x)
+            x = GateConv2d(ch, k, (1, 2), impl=self.impl,
+                           name=f"conv_{i}")(x)
             if self.norm_stages[i]:
                 x = NormSwitch(self.norm_type, ch, name=f"norm_{i}")(x, train)
             x = PReLU(ch, name=f"act_{i}")(x)
@@ -232,6 +260,7 @@ class U2NetDecoder(nn.Module):
     intra_connect: str
     norm_type: str
     k_end: Tuple[int, int] = (2, 5)
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
@@ -239,10 +268,10 @@ class U2NetDecoder(nn.Module):
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = EnUnetModule(self.c, self.k1, self.k2, self.intra_connect,
                              self.norm_type, scale, is_deconv=True,
-                             name=f"unet_{i}")(x, train)
+                             impl=self.impl, name=f"unet_{i}")(x, train)
         x = jnp.concatenate([x, skips[0]], axis=-1)
         x = GateConvTranspose2d(self.embed_dim, self.k_end, (1, 2),
-                                name="last_conv")(x)
+                                impl=self.impl, name="last_conv")(x)
         x = NormSwitch(self.norm_type, self.embed_dim, name="last_norm")(
             x, train)
         return PReLU(self.embed_dim, name="last_act")(x)
@@ -256,6 +285,7 @@ class UNetDecoder(nn.Module):
     k1: Tuple[int, int]
     norm_type: str
     k_end: Tuple[int, int] = (2, 5)
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
@@ -263,7 +293,8 @@ class UNetDecoder(nn.Module):
             ch = self.embed_dim if i == 4 else self.c
             k = self.k_end if i == 4 else self.k1
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
-            x = GateConvTranspose2d(ch, k, (1, 2), name=f"conv_{i}")(x)
+            x = GateConvTranspose2d(ch, k, (1, 2), impl=self.impl,
+                                    name=f"conv_{i}")(x)
             x = NormSwitch(self.norm_type, ch, name=f"norm_{i}")(x, train)
             x = PReLU(ch, name=f"act_{i}")(x)
         return x

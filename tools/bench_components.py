@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--bf-impl", default="pallas",
                     choices=["scan", "pallas"])
+    ap.add_argument("--conv-impl", default="xla", choices=["phase", "xla"],
+                    help="freq-strided conv implementation in the "
+                    "encoder/decoder blocks (polyphase vs XLA strided)")
     ap.add_argument("--stages", default="",
                     help="comma list to restrict (encoder,tcn,decoder,"
                     "head,gagnet,stft,full)")
@@ -139,7 +142,8 @@ def main():
     class _Enc:
         def __call__(self):
             return (U2NetEncoder(ecfg.c, ecfg.k1, ecfg.k2,
-                                 ecfg.intra_connect, ecfg.norm_type),
+                                 ecfg.intra_connect, ecfg.norm_type,
+                                 impl=args.conv_impl),
                     {"train": True})
 
     class _Tcn:
@@ -169,7 +173,7 @@ def main():
 
     if want is None or "decoder" in want:
         enc = U2NetEncoder(ecfg.c, ecfg.k1, ecfg.k2, ecfg.intra_connect,
-                           ecfg.norm_type)
+                           ecfg.norm_type, impl=args.conv_impl)
         x0 = jnp.asarray(
             rng.standard_normal((b, t, f, 2 * m)).astype(np.float32), dtype)
         ev = enc.init(key, x0, train=True)
@@ -177,7 +181,8 @@ def main():
         bott = bott.astype(dtype)
         skips = [s.astype(dtype) for s in skips]
         dec = U2NetDecoder(ecfg.embed_dim, ecfg.c, ecfg.k1, ecfg.k2,
-                           ecfg.intra_connect, ecfg.norm_type)
+                           ecfg.intra_connect, ecfg.norm_type,
+                           impl=args.conv_impl)
         dv = dec.init(key, bott, skips, train=True)
         dv = jax.tree.map(
             lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, dv)
