@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from eabnet_tpu.nn.norms import NormSwitch, PReLU
 from eabnet_tpu.nn.phase_conv import PhaseFreqDownConv, PhaseFreqUpConv
+from eabnet_tpu.nn.s2d_conv import S2DFreqDownConv, S2DFreqUpConv
 
 
 def causal_pad_t(x: jnp.ndarray, k_t: int, dilation: int = 1) -> jnp.ndarray:
@@ -58,7 +59,11 @@ class GateConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.impl == "phase" and self.stride == (1, 2):
+        if self.impl == "s2d" and self.stride == (1, 2):
+            # freq folded into channels: stride-1 conv, full 128 lanes
+            y = S2DFreqDownConv(2 * self.out_ch, self.kernel,
+                                name="conv")(x)
+        elif self.impl == "phase" and self.stride == (1, 2):
             # polyphase decomposition: stride-1 convs over the even/odd
             # freq phases, so fwd AND bwd stay off TPU's dilated-conv path
             y = PhaseFreqDownConv(2 * self.out_ch, self.kernel,
@@ -86,7 +91,10 @@ class GateConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.impl == "phase" and self.stride == (1, 2):
+        if self.impl == "s2d" and self.stride == (1, 2):
+            y = S2DFreqUpConv(2 * self.out_ch, self.kernel,
+                              name="conv")(x)  # chomp folded in
+        elif self.impl == "phase" and self.stride == (1, 2):
             y = PhaseFreqUpConv(2 * self.out_ch, self.kernel,
                                 name="conv")(x)  # chomp folded in
         else:
@@ -111,7 +119,9 @@ class Conv2dUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.impl == "phase":
+        if self.impl == "s2d":
+            x = S2DFreqDownConv(self.ch, self.kernel, name="conv")(x)
+        elif self.impl == "phase":
             x = PhaseFreqDownConv(self.ch, self.kernel, name="conv")(x)
         else:
             x = nn.Conv(self.ch, self.kernel, strides=(1, 2),
@@ -133,7 +143,9 @@ class Deconv2dUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.impl == "phase":
+        if self.impl == "s2d":
+            x = S2DFreqUpConv(self.ch, self.kernel, name="conv")(x)
+        elif self.impl == "phase":
             x = PhaseFreqUpConv(self.ch, self.kernel, name="conv")(x)
         else:
             x = nn.ConvTranspose(self.ch, self.kernel, strides=(1, 2),

@@ -1,9 +1,10 @@
-"""Polyphase frequency-strided convs == the XLA strided/transposed convs.
+"""Alternative frequency-strided convs == the XLA strided/transposed convs.
 
-The phase implementation (nn/phase_conv.py) must be a bit-for-bit drop-in
-(up to f32 summation order) for the stride-(1,2) convs it replaces: same
-param pytree, same outputs, same gradients. These tests share ONE param
-pytree between both implementations of every block that switched.
+The polyphase (nn/phase_conv.py) and space-to-depth (nn/s2d_conv.py)
+implementations must be bit-for-bit drop-ins (up to f32 summation order)
+for the stride-(1,2) convs they replace: same param pytree, same outputs,
+same gradients. These tests share ONE param pytree between the xla
+implementation and each alternative, for every block that can switch.
 """
 
 import jax
@@ -21,6 +22,7 @@ from eabnet_tpu.nn.blocks import (
 )
 
 KF_CASES = [((2, 3), 80), ((2, 5), 161), ((1, 3), 39), ((2, 3), 21)]
+IMPLS = ["phase", "s2d"]
 
 
 def _x(f, c=6, b=2, t=11, seed=0):
@@ -28,10 +30,11 @@ def _x(f, c=6, b=2, t=11, seed=0):
     return jnp.asarray(rng.standard_normal((b, t, f, c)), jnp.float32)
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("kernel,f", KF_CASES)
-def test_gate_conv_phase_matches_xla(kernel, f):
+def test_gate_conv_phase_matches_xla(kernel, f, impl):
     x = _x(f)
-    phase = GateConv2d(8, kernel, (1, 2), impl="phase")
+    phase = GateConv2d(8, kernel, (1, 2), impl=impl)
     ref = GateConv2d(8, kernel, (1, 2), impl="xla")
     v = ref.init(jax.random.key(0), x)
     # identical param pytree: phase must run from the xla-initialized params
@@ -42,10 +45,11 @@ def test_gate_conv_phase_matches_xla(kernel, f):
         phase.apply(v, x), ref.apply(v, x), atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("kernel,f", KF_CASES)
-def test_gate_deconv_phase_matches_xla(kernel, f):
+def test_gate_deconv_phase_matches_xla(kernel, f, impl):
     x = _x(f)
-    phase = GateConvTranspose2d(8, kernel, (1, 2), impl="phase")
+    phase = GateConvTranspose2d(8, kernel, (1, 2), impl=impl)
     ref = GateConvTranspose2d(8, kernel, (1, 2), impl="xla")
     v = ref.init(jax.random.key(0), x)
     assert jax.tree.structure(v) == jax.tree.structure(
@@ -54,11 +58,12 @@ def test_gate_deconv_phase_matches_xla(kernel, f):
         phase.apply(v, x), ref.apply(v, x), atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("kernel,f", [((1, 3), 80), ((1, 3), 41)])
-def test_conv_units_match(kernel, f):
+def test_conv_units_match(kernel, f, impl):
     x = _x(f)
     for phase_cls, kw in [(Conv2dUnit, {}), (Deconv2dUnit, {})]:
-        phase = phase_cls(kernel, 8, "BN", impl="phase", **kw)
+        phase = phase_cls(kernel, 8, "BN", impl=impl, **kw)
         ref = phase_cls(kernel, 8, "BN", impl="xla", **kw)
         v = ref.init(jax.random.key(1), x, train=False)
         np.testing.assert_allclose(
@@ -66,15 +71,16 @@ def test_conv_units_match(kernel, f):
             ref.apply(v, x, train=False), atol=1e-5)
 
 
-def test_full_encoder_decoder_match_and_grads():
+@pytest.mark.parametrize("alt", IMPLS)
+def test_full_encoder_decoder_match_and_grads(alt):
     """Whole U²Net encoder+decoder: outputs AND parameter gradients agree
-    between the polyphase and XLA implementations on shared params."""
+    between the alternative and XLA implementations on shared params."""
     x = _x(161, c=18, b=1, t=7, seed=3)
     mk = lambda impl: (
         U2NetEncoder(16, (2, 3), (1, 3), "cat", "BN", impl=impl),
         U2NetDecoder(24, 16, (2, 3), (1, 3), "cat", "BN", impl=impl),
     )
-    enc_p, dec_p = mk("phase")
+    enc_p, dec_p = mk(alt)
     enc_r, dec_r = mk("xla")
     ve = enc_r.init(jax.random.key(0), x, train=False)
     bott, skips = enc_r.apply(ve, x, train=False)
@@ -102,8 +108,9 @@ def test_full_encoder_decoder_match_and_grads():
         assert float(np.abs(a - b).max()) < 2e-2 * scale
 
 
-def test_even_freq_kernel_rejected():
+@pytest.mark.parametrize("impl", IMPLS)
+def test_even_freq_kernel_rejected(impl):
     x = _x(32)
     with pytest.raises(ValueError):
-        GateConv2d(8, (2, 4), (1, 2), impl="phase").init(
+        GateConv2d(8, (2, 4), (1, 2), impl=impl).init(
             jax.random.key(0), x)
