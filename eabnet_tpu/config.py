@@ -106,6 +106,11 @@ class GaGNetConfig:
     # the reference GaGNet only offers BN/IN (GaGNet.py:563-590); cLN is a
     # framework extension enabling exact streaming of the post-filter
     norm_type: str = "IN"        # "BN" | "IN" | "cLN"
+    # run each stage's independent glance/gaze TCN stacks as one stacked
+    # (vmapped) computation — same params, same math, ~3x fewer ops
+    # (models/gagnet_fused.py); auto-falls back to the unfused modules for
+    # norm_type "BN" (running stats don't vmap)
+    fused_stages: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

@@ -128,8 +128,15 @@ class GaGNet(nn.Module):
             )(x, train)
         b, t = feat.shape[0], feat.shape[1]
         feat = feat.reshape(b, t, -1)  # (B, T, F'*C) == d_feat
+        if cfg.fused_stages and cfg.norm_type != "BN":
+            # same params/math, stacked execution (models/gagnet_fused.py)
+            from eabnet_tpu.models.gagnet_fused import FusedGlanceGaze
+
+            stage_cls = FusedGlanceGaze
+        else:
+            stage_cls = GlanceGazeModule
         outs = []
         for i in range(cfg.q):
-            pre_x = GlanceGazeModule(cfg, name=f"gag_{i}")(feat, pre_x, train)
+            pre_x = stage_cls(cfg, name=f"gag_{i}")(feat, pre_x, train)
             outs.append(pre_x)
         return outs

@@ -58,9 +58,12 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--bf-impl", default="pallas",
                     choices=["scan", "pallas"])
-    ap.add_argument("--conv-impl", default="xla", choices=["phase", "xla"],
+    ap.add_argument("--conv-impl", default="xla", choices=["phase", "xla", "s2d"],
                     help="freq-strided conv implementation in the "
                     "encoder/decoder blocks (polyphase vs XLA strided)")
+    ap.add_argument("--gag-fused", default="on", choices=["on", "off"],
+                    help="fused stacked execution of the GaGNet "
+                    "glance/gaze TCN stacks (models/gagnet_fused.py)")
     ap.add_argument("--stages", default="",
                     help="comma list to restrict (encoder,tcn,decoder,"
                     "head,gagnet,stft,full)")
@@ -93,8 +96,9 @@ def main():
     )
 
     cfg = ExperimentConfig(
-        model=ComposedConfig(eabnet=EaBNetConfig(bf_impl=args.bf_impl),
-                             gagnet=GaGNetConfig()),
+        model=ComposedConfig(
+            eabnet=EaBNetConfig(bf_impl=args.bf_impl),
+            gagnet=GaGNetConfig(fused_stages=args.gag_fused == "on")),
         train=TrainConfig(batch_size=args.batch),
     )
     ecfg = cfg.model.eabnet
