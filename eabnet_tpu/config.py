@@ -109,8 +109,11 @@ class GaGNetConfig:
     # run each stage's independent glance/gaze TCN stacks as one stacked
     # (vmapped) computation — same params, same math, ~3x fewer ops
     # (models/gagnet_fused.py); auto-falls back to the unfused modules for
-    # norm_type "BN" (running stats don't vmap)
-    fused_stages: bool = True
+    # norm_type "BN" (running stats don't vmap). Measured a wash on v5e
+    # (21.2 vs 21.6 ms fwd+bwd, bf16 batch 8): within one XLA program the
+    # stage is HBM-bound, not op-count-bound — so the simpler unfused
+    # path stays the default
+    fused_stages: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

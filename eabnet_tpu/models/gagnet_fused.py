@@ -21,6 +21,18 @@ outputs and gradients through both paths.
 
 Only norm_type "IN"/"cLN" are fusible (BatchNorm's running stats don't
 vmap); GaGNet falls back to the unfused modules for "BN".
+
+MEASURED RESULT (TPU v5e, bf16, batch 8, T=601, round 2): a wash —
+fwd+bwd 21.19 ms fused vs 21.61 ms unfused (back-to-back A/B,
+``tools/bench_components.py --stages gagnet --gag-fused on|off``). The
+premise was wrong for TPU: inside a single compiled XLA program there is
+no per-op launch cost to amortize, and stacking does not reduce the
+activation bytes moving through HBM, which is what actually bounds the
+stage. ``fused_stages`` therefore defaults to False (simplest proven
+path); the module remains as a parity-tested alternative and a recorded
+experiment. A real win here would need an activation-resident Pallas
+kernel (the TCM chain's (B,T,64) bottleneck fits VMEM), cutting HBM
+round-trips rather than op count.
 """
 
 from __future__ import annotations
