@@ -24,6 +24,21 @@ def frame_mask(frame_counts, num_frames: int) -> jnp.ndarray:
     return (jnp.arange(num_frames)[None, :] < counts).astype(jnp.float32)
 
 
+def safe_mag(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(x_r^2 + x_i^2) over the trailing RI axis with a finite gradient
+    at exactly-zero bins.
+
+    Zero-padded batch frames make the estimate exactly 0 there, and
+    d/dx sqrt(x^2) at 0 is inf — the frame mask multiplies that by 0,
+    which is NaN, and one optimizer step then poisons every parameter.
+    The where-guard routes a zero gradient through zero bins instead;
+    values are bit-identical for every nonzero bin.
+    """
+    sq = jnp.sum(jnp.square(x), axis=-1)
+    nonzero = sq > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, sq, 1.0)), 0.0)
+
+
 def com_mag_mse_loss(esti: jnp.ndarray, label: jnp.ndarray,
                      mask: jnp.ndarray) -> jnp.ndarray:
     """0.5 * (masked magnitude MSE + masked RI MSE).
@@ -31,8 +46,8 @@ def com_mag_mse_loss(esti: jnp.ndarray, label: jnp.ndarray,
     esti, label: (B, T, F, 2); mask: (B, T).
     """
     m = mask[:, :, None]  # (B, T, 1)
-    mag_e = jnp.sqrt(jnp.sum(jnp.square(esti), axis=-1))
-    mag_l = jnp.sqrt(jnp.sum(jnp.square(label), axis=-1))
+    mag_e = safe_mag(esti)
+    mag_l = safe_mag(label)
     denom_mag = jnp.sum(m) * esti.shape[2]
     loss_mag = jnp.sum(jnp.square(mag_e - mag_l) * m) / denom_mag
     # the RI mask counts both real and imag entries
@@ -52,13 +67,13 @@ def stagewise_com_mag_mse_loss(
     the final stage (reference: GaGNet.py:601-619)."""
     m = mask[:, :, None]
     denom = jnp.sum(m) * label.shape[2]
-    mag_l = jnp.sqrt(jnp.sum(jnp.square(label), axis=-1))
+    mag_l = safe_mag(label)
     loss_ri = 0.0
     loss_mag = 0.0
     n = len(esti_list)
     for i, esti in enumerate(esti_list):
         alpha = 1.0 if i == n - 1 else alpha_mid
-        mag_e = jnp.sqrt(jnp.sum(jnp.square(esti), axis=-1))
+        mag_e = safe_mag(esti)
         loss_ri = loss_ri + alpha * jnp.sum(
             jnp.square(esti - label) * m[..., None]
         ) / (2.0 * denom)

@@ -94,8 +94,13 @@ class GlanceGazeModule(nn.Module):
         pre_flat = _flatten_spec(pre_x)
         gain = GlanceBlock(self.cfg, name="glance")(feat_x, pre_flat, train)
         resi = GazeBlock(self.cfg, name="gaze")(feat_x, pre_flat, train)
-        pre_mag = jnp.sqrt(jnp.sum(jnp.square(pre_x), axis=-1))
-        pre_phase = jnp.arctan2(pre_x[..., 1], pre_x[..., 0])
+        # guarded mag/phase: padded frames carry exactly-zero spectra, and
+        # sqrt/arctan2 gradients at (0, 0) are inf/NaN (losses.safe_mag)
+        sq = jnp.sum(jnp.square(pre_x), axis=-1)
+        nz = sq > 0
+        pre_mag = jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+        pre_phase = jnp.arctan2(
+            pre_x[..., 1], jnp.where(nz, pre_x[..., 0], 1.0))
         filt = pre_mag * gain
         coarse = jnp.stack(
             [filt * jnp.cos(pre_phase), filt * jnp.sin(pre_phase)], axis=-1

@@ -321,8 +321,13 @@ class FusedGlanceGaze(nn.Module):
         resi = jnp.stack([r, i], axis=-1)
 
         # CRM combine, identical to GlanceGazeModule (GaGNet.py:129-132)
-        pre_mag = jnp.sqrt(jnp.sum(jnp.square(pre_x), axis=-1))
-        pre_phase = jnp.arctan2(pre_x[..., 1], pre_x[..., 0])
+        # guarded mag/phase: padded frames carry exactly-zero spectra, and
+        # sqrt/arctan2 gradients at (0, 0) are inf/NaN (losses.safe_mag)
+        sq = jnp.sum(jnp.square(pre_x), axis=-1)
+        nz = sq > 0
+        pre_mag = jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+        pre_phase = jnp.arctan2(
+            pre_x[..., 1], jnp.where(nz, pre_x[..., 0], 1.0))
         filt = pre_mag * gain
         coarse = jnp.stack(
             [filt * jnp.cos(pre_phase), filt * jnp.sin(pre_phase)], axis=-1

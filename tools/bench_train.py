@@ -27,6 +27,10 @@ def main():
                         choices=["scan", "pallas"],
                         help="LSTM head implementation (pallas = fused "
                         "custom-VJP kernels)")
+    parser.add_argument("--remat-policy", default="",
+                        choices=["", "dots", "full"],
+                        help="backward rematerialization policy "
+                        "(train/step.py)")
     args = parser.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main():
     cfg = ExperimentConfig(
         model=ComposedConfig(eabnet=EaBNetConfig(bf_impl=args.bf_impl)),
         train=TrainConfig(batch_size=args.batch,
-                          compute_dtype=args.compute_dtype),
+                          compute_dtype=args.compute_dtype,
+                          remat_policy=args.remat_policy),
     )
     model, state = create_train_state(cfg, jax.random.key(0))
     step = make_train_step(cfg, model, donate=False)
@@ -116,6 +121,7 @@ def main():
         f"{audio_per_sec:.0f} audio-sec/s "
         f"({audio_per_sec / 3600:.2f} h of audio per wall-second)"
         f"{mfu_txt}"
+        + (f" [remat={args.remat_policy}]" if args.remat_policy else "")
     )
 
 
