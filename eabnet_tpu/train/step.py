@@ -115,8 +115,12 @@ def make_train_step(
         # backward pass instead of stored
         apply_model = jax.checkpoint(apply_model)
     elif policy == "dots":
-        # keep matmul/conv outputs, recompute elementwise ops in backward —
-        # cuts HBM traffic, measured ~1.2x faster on v5e (NOTES_r2.md)
+        # keep matmul/conv outputs, recompute elementwise ops in backward.
+        # Measured on v5e bf16 batch 8: ~10% SLOWER than no remat (128.6
+        # vs 116.2 ms back-to-back, tools/bench_train.py --remat-policy) —
+        # at this model size there is no HBM pressure to relieve, so
+        # recompute is pure cost. Kept as an option for memory-constrained
+        # configs (e.g. long-utterance or large-batch training).
         apply_model = jax.checkpoint(
             apply_model, policy=jax.checkpoint_policies.dots_saveable
         )
