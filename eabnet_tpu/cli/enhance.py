@@ -18,6 +18,10 @@ def main(argv=None):
                         help="experiment dir with config.json + checkpoint")
     parser.add_argument("--ckpt", default=None,
                         help="explicit checkpoint (.ckpt or reference .pth)")
+    parser.add_argument("--output-stage", default="esti",
+                        choices=["esti", "esti0"],
+                        help="esti = composed EaBNet+GaGNet (reference "
+                        "enhance.py), esti0 = bare EaBNet beamformer")
     parser.add_argument(
         "--mic-permutation", default=None,
         help="comma-separated capture-channel order, e.g. 7,0,1,2,3,4,5,6 "
@@ -35,7 +39,8 @@ def main(argv=None):
     if args.mic_permutation:
         perm = [int(x) for x in args.mic_permutation.split(",")]
 
-    enhancer = load_enhancer(args.exp_root, args.ckpt)
+    enhancer = load_enhancer(args.exp_root, args.ckpt,
+                             output=args.output_stage)
 
     if os.path.isdir(args.input):
         os.makedirs(args.output, exist_ok=True)

@@ -59,7 +59,13 @@ def main(argv=None):
         stft_state, frame = s_stft.push(stft_state, block)  # (1,M,F,2)
         frame = jnp.transpose(frame, (0, 2, 1, 3))  # (1, F, M, 2)
         model_state, out = model.step(model_state, frame)
-        istft_state, samples = s_istft.push(istft_state, out["esti"])
+        esti = out["esti"]
+        if cfg.stft.decompress_output:
+            # same inverse power compression as the offline stft_to_wav
+            from eabnet_tpu.dsp import power_uncompress
+
+            esti = power_uncompress(esti, cfg.stft.compression)
+        istft_state, samples = s_istft.push(istft_state, esti)
         return stft_state, model_state, istft_state, samples
 
     stft_state = s_stft.init_state(1, m)

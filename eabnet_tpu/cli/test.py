@@ -19,6 +19,11 @@ def main(argv=None):
                         help="report path prefix (default: next to ckpt)")
     parser.add_argument("--limit", type=int, default=None,
                         help="score only the first N utterances")
+    parser.add_argument("--output", default="esti0",
+                        choices=["esti0", "esti"],
+                        help="stage to score: esti0 = bare EaBNet (what "
+                        "the reference's test.py evaluates, lines "
+                        "160-165), esti = composed with GaGNet postnet")
     args = parser.parse_args(argv)
 
     from eabnet_tpu.cli.common import respect_jax_platforms_env
@@ -41,7 +46,7 @@ def main(argv=None):
     assert ckpt, "no checkpoint found; pass --ckpt"
     _, state = create_train_state(cfg, jax.random.key(0))
     state, _ = load_checkpoint(ckpt, state, cfg)
-    enhancer = Enhancer(cfg, state.params)
+    enhancer = Enhancer(cfg, state.params, output=args.output)
 
     _, val_ds = make_dataset(cfg.data, mics=cfg.model.eabnet.M)
     assert val_ds is not None, "config has no validation set"

@@ -322,11 +322,16 @@ def stft_to_wav(esti_stft: jnp.ndarray, cfg: StftConfig,
                 length: Optional[int] = None) -> jnp.ndarray:
     """(B, 2, T, F) compressed spectrum -> waveform (B, N).
 
-    Applies the inverse power compression then iSTFT (reference:
-    train_distributed.py:128-129 performs the iSTFT on the *compressed*
-    spectrum directly — we follow that exactly, so enhancement outputs stay
-    comparable; use ``uncompress=True`` paths explicitly if needed).
+    By default inverts the sqrt power compression (mag -> mag^(1/p), phase
+    kept) before the iSTFT. The reference iSTFTs the *compressed* spectrum
+    directly (train_distributed.py:128-129, test.py:189-190,
+    enhance.py:59-61), which caps even a perfect estimate at ~+5 dB SI-SDR
+    vs the clean target (vs ~+114 dB with the inverse; measured round 2) —
+    a deliberate, documented divergence like the miso one. Set
+    ``cfg.decompress_output=False`` for bit-exact reference emulation.
     """
     spec = jnp.transpose(esti_stft, (0, 2, 3, 1))  # (B, T, F, 2)
+    if cfg.decompress_output:
+        spec = power_uncompress(spec, cfg.compression)
     return istft(spec, cfg.fft_num, cfg.hop_samples, cfg.win_samples,
                  length=length)

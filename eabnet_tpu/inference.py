@@ -32,17 +32,27 @@ class Enhancer:
     """
 
     def __init__(self, cfg: ExperimentConfig, params,
-                 bucket_seconds: float = 1.0):
+                 bucket_seconds: float = 1.0, output: str = "esti"):
+        """``output`` selects the enhancement stage: "esti" = composed
+        EaBNet + GaGNet refinement (the reference enhance.py's
+        esti_stft), "esti0" = the bare EaBNet beamformer (what the
+        reference's eval battery scores — test.py:160-165 loads EaBNet
+        without the postnet)."""
+        if output not in ("esti", "esti0"):
+            raise ValueError(f"output must be 'esti' or 'esti0', "
+                             f"got {output!r}")
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.params = params
+        self.output = output
         self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
         self._jitted = jax.jit(self._enhance)
 
     def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
         noisy_stft, _ = prepare_data(noisy_wav, None, self.cfg.stft)
         out = self.model.apply({"params": params}, noisy_stft)
-        return stft_to_wav(to_reference_layout(out["esti"]), self.cfg.stft)
+        return stft_to_wav(to_reference_layout(out[self.output]),
+                           self.cfg.stft)
 
     def __call__(self, noisy: np.ndarray,
                  mic_permutation: Optional[list] = None) -> np.ndarray:
@@ -70,7 +80,8 @@ class Enhancer:
 
 
 def load_enhancer(exp_root: str,
-                  checkpoint: Optional[str] = None) -> Enhancer:
+                  checkpoint: Optional[str] = None,
+                  output: str = "esti") -> Enhancer:
     """Build an Enhancer from an experiment dir — either this framework's
     (config.json + *.ckpt) or a REFERENCE experiment directory
     (args.pickle + *.pth, the format frozen by train_distributed.py:360-361)
@@ -95,4 +106,4 @@ def load_enhancer(exp_root: str,
     if ckpt is None:
         raise FileNotFoundError(f"no checkpoint found under {exp_root}")
     state, _ = load_checkpoint(ckpt, state, cfg)
-    return Enhancer(cfg, state.params)
+    return Enhancer(cfg, state.params, output=output)

@@ -125,7 +125,8 @@ def test_prepare_data_shapes_and_values(rng):
 
 
 def test_stft_to_wav_matches_reference_istft(rng):
-    cfg = StftConfig()
+    # raw-transform parity: disable the (default) compression inverse
+    cfg = StftConfig(decompress_output=False)
     spec = rng.standard_normal((1, 2, 601, 161)).astype(np.float32)
     ref = torch.istft(
         torch.view_as_complex(
@@ -138,3 +139,24 @@ def test_stft_to_wav_matches_reference_istft(rng):
     ).numpy()
     ours = np.asarray(stft_to_wav(jnp.asarray(spec), cfg))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_stft_to_wav_inverts_power_compression(rng):
+    """Default path: prepare_data compression -> stft_to_wav must round-trip
+    back to the original waveform (the reference skips the inverse and caps
+    a perfect estimate at ~+5 dB SI-SDR; see StftConfig.decompress_output).
+    """
+    cfg = StftConfig()
+    n = 16000
+    wav = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+    _, target_stft = prepare_data(
+        jnp.asarray(wav)[:, None].repeat(2, 1), jnp.asarray(wav), cfg
+    )
+    rec = np.asarray(stft_to_wav(target_stft, cfg, n))[0]
+    ref = wav[0]
+    a = float(np.dot(rec, ref) / np.dot(ref, ref))
+    t = a * ref
+    si_sdr = 10 * np.log10(
+        np.dot(t, t) / max(float(np.dot(rec - t, rec - t)), 1e-20)
+    )
+    assert si_sdr > 40.0, si_sdr
