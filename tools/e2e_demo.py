@@ -158,7 +158,6 @@ def main():
     ckpt = latest_checkpoint(cfg.train.checkpoint_dir)
     _, state = create_train_state(cfg, jax.random.key(0))
     state, _ = load_checkpoint(ckpt, state, cfg)
-    enhancer = Enhancer(cfg, state.params)
     val = OfflineMcseDataset(os.path.join(root, "val"))
 
     def items():
@@ -166,20 +165,30 @@ def main():
             noisy, clean = val[i]
             yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
 
-    acc, rows = evaluate_dataset(enhancer, items(), sr=16000)
+    # the bare EaBNet beamformer is what the reference's eval battery
+    # scores (test.py:160-165); the composed output is also reported —
+    # the GaGNet refinement only helps after much longer training
+    acc, rows = evaluate_dataset(
+        Enhancer(cfg, state.params, output="esti0"), items(), sr=16000)
     write_report(acc, rows, os.path.join(root, "scores_model"))
+
+    accc, rowsc = evaluate_dataset(
+        Enhancer(cfg, state.params, output="esti"), items(), sr=16000)
+    write_report(accc, rowsc, os.path.join(root, "scores_composed"))
 
     acc0, rows0 = evaluate_dataset(
         lambda noisy: noisy[0], items(), sr=16000
     )
     write_report(acc0, rows0, os.path.join(root, "scores_noisy"))
 
-    print("\n=== noisy baseline vs trained model (mean ± std) ===")
+    print("\n=== noisy -> EaBNet -> composed (mean ± std) ===")
     for metric in ("si_sdr", "estoi", "stoi", "seg_snr", "lsd"):
         m0 = acc0.mean_std(metric)
         m1 = acc.mean_std(metric)
+        m2 = accc.mean_std(metric)
         print(f"{metric:8s}: {m0[0]:7.3f} ± {m0[1]:5.3f}  ->  "
-              f"{m1[0]:7.3f} ± {m1[1]:5.3f}")
+              f"{m1[0]:7.3f} ± {m1[1]:5.3f}  ->  "
+              f"{m2[0]:7.3f} ± {m2[1]:5.3f}")
 
 
 if __name__ == "__main__":
