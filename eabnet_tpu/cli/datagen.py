@@ -39,7 +39,15 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=16)
     parser.add_argument("--seed", type=int, default=12345)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--items", type=int, default=None,
+                        help="render exactly N items by cycling the "
+                        "speech list with fresh per-item scene seeds "
+                        "(each pass over a speech file draws a new room/"
+                        "noise/SNR scene); mutually exclusive with "
+                        "--reuse-speech")
     args = parser.parse_args(argv)
+    if args.items and args.reuse_speech:
+        parser.error("--items and --reuse-speech are mutually exclusive")
 
     from eabnet_tpu.cli.common import respect_jax_platforms_env
 
@@ -64,6 +72,18 @@ def main(argv=None):
         speech_list = speech_list[: args.limit]
 
     jobs = []
+    if args.items:
+        for k in range(args.items):
+            speech = speech_list[k % len(speech_list)]
+            speech_path = os.path.join(args.speech_root, speech)
+            jobs.append((
+                opt, args.clip_seconds, speech_path, noise_paths,
+                args.seed + k,
+                os.path.join(noisy_root, f"{k:05d}.wav"),
+                os.path.join(clean_root, f"{k:05d}.wav"),
+                None, fs,
+            ))
+        speech_list = []
     for i, speech in enumerate(speech_list):
         speech_path = os.path.join(args.speech_root, speech)
         if not args.reuse_speech:

@@ -58,8 +58,11 @@ def main(argv=None):
             yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
 
     acc, rows = evaluate_dataset(enhancer, items(), sr=cfg.stft.sr)
-    prefix = args.out_prefix or os.path.splitext(ckpt)[0]
-    path = write_report(acc, rows, prefix)
+    # stage goes into both the default file name and the report body so
+    # historical score files remain comparable (esti0 = bare beamformer,
+    # esti = composed postnet output)
+    prefix = args.out_prefix or f"{os.path.splitext(ckpt)[0]}_{args.output}"
+    path = write_report(acc, rows, prefix, extra={"stage": args.output})
     print(open(path).read())
     print(f"report: {path}")
 

@@ -19,6 +19,7 @@ from eabnet_tpu.eval.metrics import (
     log_spectral_distance,
     mean_std,
     seg_snr,
+    si_sdr,
 )
 from eabnet_tpu.eval.pesq import pesq
 from eabnet_tpu.eval.stoi import stoi
@@ -41,12 +42,18 @@ def _align(*audios: np.ndarray) -> Tuple[np.ndarray, ...]:
 
 
 def cal_single_metrics(
-    gt: np.ndarray, noisy: np.ndarray, esti: np.ndarray, sr: int = 16000
+    gt: np.ndarray, noisy: Optional[np.ndarray], esti: np.ndarray,
+    sr: int = 16000
 ) -> Dict[str, Optional[float]]:
     """Score one utterance (reference: test.py:126-153). ``noisy`` is the
-    reference-mic mixture used to derive the noise component."""
-    gt, noisy, esti = _align(gt, noisy, esti)
-    n = noisy - gt
+    reference-mic mixture used to derive the noise component; pass None
+    when no mixture exists (dir-of-wavs scoring of third-party output) —
+    SI-SDR then falls back to the direct definition and the SI-SIR/SAR
+    decomposition is omitted."""
+    if noisy is None:
+        gt, esti = _align(gt, esti)
+    else:
+        gt, noisy, esti = _align(gt, noisy, esti)
     ret: Dict[str, Optional[float]] = {}
     try:
         ret["pesq"] = pesq(sr, gt, esti, "wb")
@@ -57,8 +64,11 @@ def cal_single_metrics(
         ret["nb_pesq"] = None
     ret["stoi"] = stoi(gt, esti, sr, extended=False)
     ret["estoi"] = stoi(gt, esti, sr, extended=True)
-    sdr, sir, sar = energy_ratios(esti, gt, n)
-    ret["si_sdr"], ret["si_sir"], ret["si_sar"] = sdr, sir, sar
+    if noisy is None:
+        ret["si_sdr"] = si_sdr(gt, esti)
+    else:
+        sdr, sir, sar = energy_ratios(esti, gt, noisy - gt)
+        ret["si_sdr"], ret["si_sir"], ret["si_sar"] = sdr, sir, sar
     ret["seg_snr"] = seg_snr(gt, esti, sr)
     ret["lsd"] = log_spectral_distance(gt, esti)
     return ret
@@ -87,9 +97,12 @@ def evaluate_dataset(
     return acc, rows
 
 
-def write_report(acc: MetricAccumulator, rows: list, out_prefix: str) -> str:
+def write_report(acc: MetricAccumulator, rows: list, out_prefix: str,
+                 extra: Optional[Dict[str, str]] = None) -> str:
     """CSV of per-file scores + `mean ± std` txt summary
-    (reference: test.py:202-212)."""
+    (reference: test.py:202-212). ``extra`` key/values (e.g. the scored
+    model stage) are appended as `# key: value` comment lines so score
+    files stay interpretable across config changes."""
     os.makedirs(os.path.dirname(out_prefix) or ".", exist_ok=True)
     csv_path = out_prefix + ".csv"
     txt_path = out_prefix + ".txt"
@@ -109,6 +122,8 @@ def write_report(acc: MetricAccumulator, rows: list, out_prefix: str) -> str:
     from eabnet_tpu.eval.pesq import pesq_backend
 
     lines.append(f"# pesq backend: {pesq_backend()}")
+    for k, v in (extra or {}).items():
+        lines.append(f"# {k}: {v}")
     with open(txt_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return txt_path

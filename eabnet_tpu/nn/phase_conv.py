@@ -83,6 +83,9 @@ def phase_up_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     kt, kf = kernel.shape[0], kernel.shape[1]
     if kf % 2 == 0:
         raise ValueError(f"phase conv needs odd freq kernel, got {kf}")
+    if kf == 1:
+        raise ValueError("phase_up_conv requires kf >= 3 (the odd-phase "
+                         "branch would get an empty kernel at kf == 1)")
     b, t, f, _ = x.shape
     out_f = 2 * f + kf - 2
     p = (kf - 1) // 2

@@ -87,8 +87,8 @@ def test_full_gagnet_fused_vs_unfused():
 
 
 def test_bn_falls_back_to_unfused():
-    """norm_type='BN' must keep working (unfused path) under the default
-    fused_stages=True."""
+    """norm_type='BN' must keep working (unfused path) when
+    fused_stages=True is requested."""
     cfg = _cfg(norm_type="BN", fused_stages=True)
     feat_pre = _inputs(cfg)
     net = GaGNet(cfg)

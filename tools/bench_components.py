@@ -61,7 +61,7 @@ def main():
     ap.add_argument("--conv-impl", default="xla", choices=["phase", "xla", "s2d"],
                     help="freq-strided conv implementation in the "
                     "encoder/decoder blocks (polyphase vs XLA strided)")
-    ap.add_argument("--gag-fused", default="on", choices=["on", "off"],
+    ap.add_argument("--gag-fused", default="off", choices=["on", "off"],
                     help="fused stacked execution of the GaGNet "
                     "glance/gaze TCN stacks (models/gagnet_fused.py)")
     ap.add_argument("--stages", default="",
