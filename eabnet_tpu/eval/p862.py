@@ -28,10 +28,24 @@ hearing thresholds, band-power corrections) are NOT transcribed from the
 ITU sources — they are derived here from the published psychoacoustic
 formulas (Zwicker-Terhardt frequency warping, Terhardt threshold-in-quiet
 curve). Scores therefore track ITU PESQ closely in rank and range but are
-not digit-for-digit P.862-conformant. `eabnet_tpu.eval.pesq` automatically
-cross-checks and prefers the ITU-wrapped `pesq` package whenever it is
-importable; golden regression vectors for this implementation are pinned
-in tests/test_pesq.py.
+not digit-for-digit P.862-conformant.
+
+Quantified deviation bound vs ITU PESQ (certified wherever the
+ITU-wrapped `pesq` package is importable — tests/test_pesq.py
+cross-checks auto-run there and the suite FAILS if these are exceeded):
+- absolute MOS-LQO:      |ours - ITU| <= 0.35 per condition (wb and nb,
+  SNR 10-30 dB speech+noise conditions);
+- score DIFFERENCES:     |(ours_a - ours_b) - (ITU_a - ITU_b)| <= 0.20
+  for condition pairs on the same reference — the systematic band-table
+  offset largely cancels, so comparative judgements (is system A better
+  than B?) track ITU more tightly than absolute scores.
+In-image anchors that hold without the ITU package: the exact P.862.1 /
+P.862.2 logistic MOS-LQO maps (published constants, pinned to 1e-12),
+the 4.5 raw ceiling / -0.5 floor, SNR monotonicity, and the alignment
+behaviors (constant-delay invariance; piecewise delay recovery via the
+recursive split aligner). `eabnet_tpu.eval.pesq` automatically prefers
+the ITU backend when importable; golden regression vectors for this
+implementation are pinned in tests/test_pesq.py.
 """
 
 from __future__ import annotations
@@ -392,30 +406,56 @@ def _align(ref: np.ndarray, deg: np.ndarray,
     utts = _id_utterances(ref_vad)
 
     def refine(u: _Utterance) -> None:
+        # per-utterance crude alignment (P.862 utterance_locate does a
+        # crude pass per utterance before fine alignment): correlate just
+        # this utterance's VAD envelope against the degraded track, so a
+        # per-utterance delay far outside the fine aligner's +-nfft/2
+        # correction range around the *global* crude delay is still found
+        seg_vad = np.zeros_like(ref_vad)
+        seg_vad[u.start_block: u.end_block] = \
+            ref_vad[u.start_block: u.end_block]
+        uc = (_crude_align(seg_vad, deg_vad, ds)
+              if np.any(seg_vad > 0.0) else crude)
         s = u.start_block * ds
         e = u.end_block * ds
-        u.delay, u.confidence = _fine_align(ref, deg, s, e, crude, cfg)
+        u.delay, u.confidence = _fine_align(ref, deg, s, e, uc, cfg)
 
     for u in utts:
         refine(u)
 
-    # single-level utterance split (P.862 split_align, simplified): try the
-    # midpoint; accept when both halves are confident and disagree.
-    out: List[_Utterance] = []
-    for u in utts:
+    # recursive utterance splitting (P.862 split_align): search several
+    # split points, accept a split when both halves align confidently at
+    # *different* delays, and recurse into the halves — so a degraded
+    # signal whose delay changes more than once inside one utterance
+    # (packet loss, clock drift) still gets piecewise-correct per-frame
+    # delays. Constant-delay signals never satisfy the acceptance test,
+    # so their scores are bit-identical to the unsplit path.
+    def split(u: _Utterance, depth: int) -> List[_Utterance]:
         length = u.end_block - u.start_block
-        if length >= 2 * MINSPEECHLGTH * 4:
-            mid = u.start_block + length // 2
+        if depth <= 0 or length < 2 * MINSPEECHLGTH * 4:
+            return [u]
+        best = None
+        for frac in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
+            mid = u.start_block + int(length * frac)
+            if (mid - u.start_block < MINSPEECHLGTH * 4
+                    or u.end_block - mid < MINSPEECHLGTH * 4):
+                continue
             a = _Utterance(u.start_block, mid)
             b = _Utterance(mid, u.end_block)
             refine(a)
             refine(b)
+            conf = min(a.confidence, b.confidence)
             if (abs(a.delay - b.delay) > ds
-                    and min(a.confidence, b.confidence)
-                    > 1.1 * u.confidence):
-                out.extend([a, b])
-                continue
-        out.append(u)
+                    and conf > 1.1 * u.confidence
+                    and (best is None or conf > best[0])):
+                best = (conf, a, b)
+        if best is None:
+            return [u]
+        return split(best[1], depth - 1) + split(best[2], depth - 1)
+
+    out: List[_Utterance] = []
+    for u in utts:
+        out.extend(split(u, depth=3))
     return out
 
 # ------------------------------------------------------- perceptual model
