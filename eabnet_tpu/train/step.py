@@ -169,6 +169,14 @@ def make_train_step(
             mask = _freeze_mask(state.params, "eabnet")
             grads = jax.tree.map(lambda g, m: g * m, grads, mask)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if cfg.model.freeze_eabnet:
+            # masking grads alone is not enough: Adam momentum carried
+            # over from an unfrozen phase (e.g. a two-phase freeze recipe
+            # resuming from a joint checkpoint) still produces nonzero
+            # updates from zero grads. The reference's requires_grad=False
+            # params never move (torch Adam skips None grads,
+            # EaBNet.py:150-155) — match that by masking the updates too.
+            updates = jax.tree.map(lambda u, m: u * m, updates, mask)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,

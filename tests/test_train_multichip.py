@@ -209,6 +209,38 @@ def test_freeze_eabnet():
     assert changed
 
 
+def test_freeze_after_momentum_keeps_params_pinned():
+    """Regression (found in the round-3 long-run dry-run): freezing after
+    UNFROZEN steps must pin the eabnet params exactly. Zeroing grads alone
+    is insufficient — Adam momentum from the unfrozen phase produces
+    nonzero updates from zero grads; the updates must be masked too
+    (reference: requires_grad=False params never move, EaBNet.py:150-155)."""
+    cfg = small_cfg()
+    model, state = create_train_state(cfg, jax.random.key(0))
+    noisy, target = make_batch(cfg, b=2)
+    noisy, target = jnp.asarray(noisy), jnp.asarray(target)
+
+    # phase 1: two unfrozen steps build nonzero Adam momentum
+    step = make_train_step(cfg, model, donate=False)
+    for _ in range(2):
+        state, _ = step(state, noisy, target)
+
+    # phase 2: frozen steps on the same optimizer state
+    frozen_cfg = ExperimentConfig(
+        model=ComposedConfig(eabnet=cfg.model.eabnet,
+                             gagnet=cfg.model.gagnet,
+                             freeze_eabnet=True),
+        train=cfg.train,
+    )
+    fstep = make_train_step(frozen_cfg, model, donate=False)
+    new_state, _ = fstep(state, noisy, target)
+    for a, b in zip(
+        jax.tree.leaves(state.params["eabnet"]),
+        jax.tree.leaves(new_state.params["eabnet"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ragged_batch_loss_matches_per_item():
     """Padded + frame-masked ragged batch reproduces per-item execution.
 
