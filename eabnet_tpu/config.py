@@ -83,6 +83,10 @@ class EaBNetConfig:
     norm_type: str = "IN"        # "BN" | "IN" | "cLN"
     hid_node: int = 64           # LSTM hidden size in the beamforming head
     bf_impl: str = "scan"        # "scan" | "pallas" (fused TPU kernel)
+    # squeezed-TCN stack implementation: "pallas" fuses each whole TCM
+    # group (fwd + custom-VJP bwd) into one activation-resident kernel
+    # (kernels/tcm_chain.py); auto-falls back to "xla" for norm != IN
+    tcn_impl: str = "xla"        # "xla" | "pallas"
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))
@@ -124,6 +128,8 @@ class GaGNetConfig:
     # stage is HBM-bound, not op-count-bound — so the simpler unfused
     # path stays the default
     fused_stages: bool = False
+    # squeezed-TCN stack implementation (see EaBNetConfig.tcn_impl)
+    tcn_impl: str = "xla"        # "xla" | "pallas"
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

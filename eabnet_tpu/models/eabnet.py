@@ -234,7 +234,7 @@ class EaBNet(nn.Module):
                 cfg.kd1, cfg.cd1, cfg.d_feat,
                 dilations=tuple(2 ** j for j in range(cfg.p)),
                 is_causal=cfg.is_causal, norm_type=cfg.norm_type,
-                twin_gate=True, name=f"stcn_{i}",
+                twin_gate=True, impl=cfg.tcn_impl, name=f"stcn_{i}",
             )(x, train)
             acc = acc + x
         x = acc.reshape(b, t, f_bottle, c_bottle)

@@ -43,7 +43,8 @@ class GlanceBlock(nn.Module):
         for i in range(cfg.p):
             x = SqueezedTCNGroup(
                 cfg.kd1, cfg.cd1, cfg.d_feat, cfg.dilas, cfg.is_causal,
-                cfg.norm_type, twin_gate=False, name=f"tcn_{i}",
+                cfg.norm_type, twin_gate=False, impl=cfg.tcn_impl,
+                name=f"tcn_{i}",
             )(x, train)
         gain = nn.Dense(cfg.freq_bins, name="head")(x)
         acti = {"sigmoid": nn.sigmoid, "tanh": jnp.tanh, "relu": nn.relu}[
@@ -69,7 +70,8 @@ class GazeBlock(nn.Module):
             for i in range(cfg.p):
                 h = SqueezedTCNGroup(
                     cfg.kd1, cfg.cd1, cfg.d_feat, cfg.dilas, cfg.is_causal,
-                    cfg.norm_type, twin_gate=False, name=f"{prefix}_{i}",
+                    cfg.norm_type, twin_gate=False, impl=cfg.tcn_impl,
+                    name=f"{prefix}_{i}",
                 )(h, train)
             return h
 

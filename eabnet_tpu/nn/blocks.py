@@ -357,10 +357,93 @@ class SqueezedTCM(nn.Module):
         return x + resi
 
 
+class _Kernel(nn.Module):
+    """Param-only mirror of a Dense/Conv kernel (same name + init, so the
+    fused-kernel path shares checkpoints with the module path)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel",
+                                     nn.initializers.lecun_normal(),
+                                     self.shape)}
+
+
+class _Alpha(nn.Module):
+    """Param-only mirror of PReLU."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {"alpha": self.param(
+            "alpha", lambda _, s: jnp.full(s, 0.25, jnp.float32),
+            (self.features,))}
+
+
+class _ScaleBias(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones,
+                                (self.features,)),
+            "bias": self.param("bias", nn.initializers.zeros,
+                               (self.features,)),
+        }
+
+
+class _NormParams(nn.Module):
+    """Param-only mirror of NormSwitch(IN) — nested 'norm' scope."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {"norm": _ScaleBias(self.features, name="norm")()}
+
+
+class _TCMParams(nn.Module):
+    """Param-only mirror of SqueezedTCM: identical tree (names, shapes,
+    initializer functions and RNG paths), zero computation — the fused
+    Pallas chain consumes the tree directly."""
+
+    kd1: int
+    cd1: int
+    d_feat: int
+    twin_gate: bool
+
+    @nn.compact
+    def __call__(self):
+        out = {"in_conv": _Kernel((self.d_feat, self.cd1),
+                                  name="in_conv")()}
+        branches = ("left", "right") if self.twin_gate else ("main",)
+        for b in branches:
+            out[f"{b}_act"] = _Alpha(self.cd1, name=f"{b}_act")()
+            out[f"{b}_norm"] = _NormParams(self.cd1, name=f"{b}_norm")()
+            out[f"{b}_conv"] = _Kernel((self.kd1, self.cd1, self.cd1),
+                                       name=f"{b}_conv")()
+        out["out_act"] = _Alpha(self.cd1, name="out_act")()
+        out["out_norm"] = _NormParams(self.cd1, name="out_norm")()
+        out["out_conv"] = _Kernel((self.cd1, self.d_feat),
+                                  name="out_conv")()
+        return out
+
+
 class SqueezedTCNGroup(nn.Module):
     """A chain of SqueezedTCMs with the given dilation schedule
     (reference: EaBNet.py:506-529 uses 2**i, i<p; GaGNet.py:261-284 uses an
-    explicit list)."""
+    explicit list).
+
+    ``impl='pallas'`` runs the whole chain as ONE activation-resident
+    Pallas kernel pair (fwd + custom-VJP bwd, kernels/tcm_chain.py): the
+    (B,T,256)/(B,T,64) streams never round-trip HBM between TCMs. Param
+    tree, outputs and gradients are identical to the module path
+    (tests/test_tcm_chain.py). Falls back to the module path for
+    configurations the kernel does not cover (norm != IN, non-causal).
+    """
 
     kd1: int
     cd1: int
@@ -369,9 +452,21 @@ class SqueezedTCNGroup(nn.Module):
     is_causal: bool = True
     norm_type: str = "IN"
     twin_gate: bool = True
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (self.impl == "pallas" and self.norm_type == "IN"
+                and self.is_causal):
+            from eabnet_tpu.kernels.tcm_chain import tcm_chain_pallas
+
+            params = {
+                f"tcm_{i}": _TCMParams(self.kd1, self.cd1, self.d_feat,
+                                       self.twin_gate, name=f"tcm_{i}")()
+                for i in range(len(self.dilations))
+            }
+            return tcm_chain_pallas(params, x, self.kd1, self.cd1,
+                                    tuple(self.dilations), self.twin_gate)
         for i, d in enumerate(self.dilations):
             x = SqueezedTCM(self.kd1, self.cd1, self.d_feat, d,
                             self.is_causal, self.norm_type, self.twin_gate,
