@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--conv-impl", default="xla", choices=["phase", "xla", "s2d"],
                     help="freq-strided conv implementation in the "
                     "encoder/decoder blocks (polyphase vs XLA strided)")
+    ap.add_argument("--tcn-impl", default="xla",
+                    choices=["xla", "pallas"],
+                    help="squeezed-TCN group implementation: module chain "
+                    "vs the fused activation-resident Pallas kernel "
+                    "(kernels/tcm_chain.py)")
     ap.add_argument("--gag-fused", default="off", choices=["on", "off"],
                     help="fused stacked execution of the GaGNet "
                     "glance/gaze TCN stacks (models/gagnet_fused.py)")
@@ -97,8 +102,10 @@ def main():
 
     cfg = ExperimentConfig(
         model=ComposedConfig(
-            eabnet=EaBNetConfig(bf_impl=args.bf_impl),
-            gagnet=GaGNetConfig(fused_stages=args.gag_fused == "on")),
+            eabnet=EaBNetConfig(bf_impl=args.bf_impl,
+                                tcn_impl=args.tcn_impl),
+            gagnet=GaGNetConfig(fused_stages=args.gag_fused == "on",
+                                tcn_impl=args.tcn_impl)),
         train=TrainConfig(batch_size=args.batch),
     )
     ecfg = cfg.model.eabnet
@@ -161,7 +168,8 @@ def main():
                             ecfg.kd1, ecfg.cd1, ecfg.d_feat,
                             dilations=tuple(2 ** j for j in range(ecfg.p)),
                             is_causal=True, norm_type=ecfg.norm_type,
-                            twin_gate=True)(x, train)
+                            twin_gate=True,
+                            impl=ecfg.tcn_impl)(x, train)
                         acc = acc + x
                     return acc
             return Stack(), {"train": True}

@@ -27,6 +27,10 @@ def main():
                         choices=["scan", "pallas"],
                         help="LSTM head implementation (pallas = fused "
                         "custom-VJP kernels)")
+    parser.add_argument("--tcn-impl", default="xla",
+                        choices=["xla", "pallas"],
+                        help="squeezed-TCN implementation (fused Pallas "
+                        "chain vs module chain)")
     parser.add_argument("--remat-policy", default="",
                         choices=["", "dots", "full"],
                         help="backward rematerialization policy "
@@ -44,12 +48,16 @@ def main():
         ComposedConfig,
         EaBNetConfig,
         ExperimentConfig,
+        GaGNetConfig,
         TrainConfig,
     )
     from eabnet_tpu.train import create_train_state, make_train_step
 
     cfg = ExperimentConfig(
-        model=ComposedConfig(eabnet=EaBNetConfig(bf_impl=args.bf_impl)),
+        model=ComposedConfig(
+            eabnet=EaBNetConfig(bf_impl=args.bf_impl,
+                                tcn_impl=args.tcn_impl),
+            gagnet=GaGNetConfig(tcn_impl=args.tcn_impl)),
         train=TrainConfig(batch_size=args.batch,
                           compute_dtype=args.compute_dtype,
                           remat_policy=args.remat_policy),
