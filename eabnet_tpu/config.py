@@ -180,6 +180,11 @@ class DataConfig:
     # room propagation runs on-device as one jitted batched FFT program
     # (data/device_mix.py) — ~5x fewer loader workers needed
     device_mix: bool = False
+    # ship offline-training batches as the wavs' native int16 samples and
+    # dequantize on-device inside the jitted step — halves host->device
+    # transfer bytes (the binding cost on narrow host links); lossless
+    # for int16-sourced wavs
+    transfer_int16: bool = False
     rir_backend: str = "auto"         # "auto" | "native" | "numpy"
     # l3das23 backend (reference: train_distributed.py:322-327)
     training_predictors_path: str = ""

@@ -163,20 +163,41 @@ class OnlineMcseDataset:
 
 class OfflineMcseDataset:
     """Paired clean/ + noisy/ wav directories
-    (reference: McseDatasetOffline, mcse_dataset.py:292-309)."""
+    (reference: McseDatasetOffline, mcse_dataset.py:292-309).
 
-    def __init__(self, root: str):
+    ``transfer_int16=True`` returns the wavs' native int16 samples
+    unconverted; the jitted train/eval steps dequantize on-device
+    (train/step.py). This halves the bytes of every host->device batch
+    transfer — the measured bottleneck behind a narrow host link — and is
+    lossless for int16-sourced data (float conversion is x/32768 either
+    way)."""
+
+    def __init__(self, root: str, transfer_int16: bool = False):
         self.clean_root = os.path.join(root, "clean")
         self.noisy_root = os.path.join(root, "noisy")
         self.names = sorted(os.listdir(self.clean_root))
+        self.transfer_int16 = transfer_int16
 
     def __len__(self) -> int:
         return len(self.names)
 
+    def _read(self, path: str) -> np.ndarray:
+        if self.transfer_int16:
+            from scipy.io import wavfile
+
+            _, data = wavfile.read(path)
+            if data.dtype != np.int16:  # non-int16 source: convert
+                data = (np.clip(data.astype(np.float64)
+                                / max(np.abs(data).max(), 1e-9), -1, 1)
+                        * 32767).astype(np.int16)
+            return data.T if data.ndim == 2 else data
+        _, data = read_wav(path)
+        return data
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         name = self.names[index]
-        _, clean = read_wav(os.path.join(self.clean_root, name))
-        _, noisy = read_wav(os.path.join(self.noisy_root, name))
+        clean = self._read(os.path.join(self.clean_root, name))
+        noisy = self._read(os.path.join(self.noisy_root, name))
         if clean.ndim > 1:
             clean = clean[0]
         return np.atleast_2d(noisy), clean
@@ -359,9 +380,11 @@ def _collate(items, pad_multiple: int = 1
     n = int(lengths.max())
     if pad_multiple > 1:
         n = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
-    noisy = np.zeros((len(items),) + items[0][0].shape[:-1] + (n,),
-                     np.float32)
-    clean = np.zeros((len(items), n), np.float32)
+    # batches keep the dataset's sample dtype (int16 transfer mode ships
+    # the wavs' native samples; the jitted step dequantizes on-device)
+    dt = items[0][0].dtype if items[0][0].dtype == np.int16 else np.float32
+    noisy = np.zeros((len(items),) + items[0][0].shape[:-1] + (n,), dt)
+    clean = np.zeros((len(items), n), dt)
     for i, (ns, cl) in enumerate(items):
         noisy[i, ..., : ns.shape[-1]] = ns
         clean[i, : cl.shape[-1]] = cl
@@ -385,7 +408,8 @@ def make_dataset(cfg: DataConfig, mics: int = 9, seed: int = 0):
                 else None
             )
         else:
-            train = OfflineMcseDataset(cfg.speech_root or cfg.val_set)
+            train = OfflineMcseDataset(cfg.speech_root or cfg.val_set,
+                                       transfer_int16=cfg.transfer_int16)
         val = OfflineMcseDataset(cfg.val_set) if cfg.val_set else None
         return train, val
     if cfg.dataset == "l3das23":

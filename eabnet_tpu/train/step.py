@@ -68,6 +68,15 @@ def _freeze_mask(params, frozen_top_level: str):
     }
 
 
+def _dequant(wav):
+    """int16 transport batches -> float on device (DataConfig.
+    transfer_int16: the loader ships the wavs' native samples to halve
+    host->device bytes; the division matches utils/audio_io.read_wav)."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) / 32768.0
+    return wav
+
+
 def _valid_frames(n_samples, total_frames: int, cfg: ExperimentConfig,
                   total_samples: int):
     """(B,) true sample counts -> (B,) valid loss-mask frame counts.
@@ -157,6 +166,8 @@ def make_train_step(
 
     def train_step(state: TrainState, noisy_wav, target_wav,
                    n_samples=None):
+        noisy_wav = _dequant(noisy_wav)
+        target_wav = _dequant(target_wav)
         if n_samples is None:
             n_samples = jnp.full((noisy_wav.shape[0],),
                                  noisy_wav.shape[-1], jnp.int32)
@@ -201,6 +212,8 @@ def make_eval_step(cfg: ExperimentConfig,
 
     @jax.jit
     def eval_step(state: TrainState, noisy_wav, target_wav, n_samples=None):
+        noisy_wav = _dequant(noisy_wav)
+        target_wav = _dequant(target_wav)
         if n_samples is None:
             n_samples = jnp.full((noisy_wav.shape[0],),
                                  noisy_wav.shape[-1], jnp.int32)

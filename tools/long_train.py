@@ -181,6 +181,7 @@ def main():
                 # offline mcse training reads paired clean/+noisy/ dirs
                 # from speech_root (data/datasets.py:388)
                 speech_root=os.path.join(root, "train_set"),
+                transfer_int16=True,
                 mcse_settings=settings_path,
                 val_set=os.path.join(root, "val"),
                 clip_seconds=args.seconds, num_workers=args.workers,
