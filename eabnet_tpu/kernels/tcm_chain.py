@@ -80,10 +80,17 @@ def _in_bwd(xhat, inv, gamma, dy):
 
 
 def _shift_down(a, s):
-    """(T, C) delayed by s frames (zeros enter at the top)."""
+    """(T, C) delayed by s frames (zeros enter at the top).
+
+    Implemented as a sublane rotate + iota mask: jnp.pad/slice shifts
+    lower to `tpu.concatenate` with unaligned row offsets, which Mosaic
+    rejects ("offset mismatch on non-concat dimension"); `tpu.rotate`
+    handles any static amount."""
     if s == 0:
         return a
-    return jnp.pad(a, ((s, 0), (0, 0)))[: a.shape[0]]
+    rolled = pltpu.roll(a, s, 0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(idx < s, jnp.zeros_like(a), rolled)
 
 
 def _shift_up(a, s):
@@ -91,25 +98,35 @@ def _shift_up(a, s):
     transpose of _shift_down."""
     if s == 0:
         return a
-    return jnp.pad(a, ((0, s), (0, 0)))[s:]
+    t = a.shape[0]
+    rolled = pltpu.roll(a, t - s, 0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(idx >= t - s, jnp.zeros_like(a), rolled)
 
 
-def _dconv_input(n, dil, k):
-    """Shifted-copies concat for the causal dilated conv: tap k sees the
-    input delayed by (k-1-i)*dil. Returns (T, K*C)."""
-    return jnp.concatenate(
-        [_shift_down(n, (k - 1 - i) * dil) for i in range(k)], axis=1
-    )
-
-
-def _dconv_bwd_data(dc, w_flat, dil, k, c):
-    """Cotangent wrt the conv input: scatter each tap's contribution
-    forward in time (transpose of the gather in _dconv_input)."""
-    dn_all = jnp.dot(dc, w_flat.T, preferred_element_type=jnp.float32)
-    dn = jnp.zeros((dc.shape[0], c), jnp.float32)
+def _dconv_fwd(n, w, dil, k, wdt):
+    """Causal dilated conv as K per-tap matmuls over rotated inputs: tap
+    i sees the input delayed by (k-1-i)*dil. w: (K, C, C)."""
+    out = None
     for i in range(k):
-        dn = dn + _shift_up(dn_all[:, i * c: (i + 1) * c],
-                            (k - 1 - i) * dil)
+        term = jnp.dot(
+            _shift_down(n, (k - 1 - i) * dil).astype(wdt), w[i],
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _dconv_bwd_data(dc, w, dil, k):
+    """Cotangent wrt the conv input: each tap's contribution advanced
+    forward in time (transpose of the delays in _dconv_fwd)."""
+    dn = None
+    for i in range(k):
+        term = _shift_up(
+            jnp.dot(dc, w[i].T, preferred_element_type=jnp.float32),
+            (k - 1 - i) * dil,
+        )
+        dn = term if dn is None else dn + term
     return dn
 
 
@@ -124,9 +141,7 @@ def _tcm_fwd_math(x, j, refs, dils, k, twin, wdt):
     for name, bi, w in branches:
         p = _prelu(h, al[j, bi])
         n, xhat, inv = _in_fwd(p, ga[j, bi], be[j, bi])
-        ci = _dconv_input(n, dils[j], k).astype(wdt)
-        w_flat = w[j].reshape(k * c, c)
-        conv[name] = jnp.dot(ci, w_flat, preferred_element_type=jnp.float32)
+        conv[name] = _dconv_fwd(n, w[j], dils[j], k, wdt)
         saved[f"n{name}"] = n
         saved[f"xhat{name}"] = xhat
         saved[f"inv{name}"] = inv
@@ -213,13 +228,14 @@ def _bwd_kernel(x_ref, dy_ref,
             branches = (("L", 0, wl, awl, dg),)
         dh = jnp.zeros_like(s["h"])
         for name, bidx, w, acc, dc in branches:
-            w_flat = w[j].reshape(k * c, c)
-            ci = _dconv_input(s[f"n{name}"], dils[j], k)
-            acc[j] += jnp.dot(
-                ci.astype(wdt).T, dc.astype(wdt),
-                preferred_element_type=jnp.float32,
-            ).reshape(k, c, c)
-            dn = _dconv_bwd_data(dc.astype(wdt), w_flat, dils[j], k, c)
+            dc16 = dc.astype(wdt)
+            for i in range(k):
+                acc[j, i] += jnp.dot(
+                    _shift_down(s[f"n{name}"],
+                                (k - 1 - i) * dils[j]).astype(wdt).T,
+                    dc16, preferred_element_type=jnp.float32,
+                )
+            dn = _dconv_bwd_data(dc16, w[j], dils[j], k)
             dp, dga_b, dbe_b = _in_bwd(s[f"xhat{name}"], s[f"inv{name}"],
                                        ga[j, bidx], dn)
             aga[j, bidx] += dga_b

@@ -70,10 +70,10 @@ def test_gradients_match_module_chain(twin):
     flat_p = jax.tree_util.tree_flatten_with_path(gradp[0])[0]
     for (path, a), (_, b) in zip(flat_x, flat_p):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=3e-5, rtol=1e-3,
+            np.asarray(b), np.asarray(a), atol=6e-5, rtol=1e-3,
             err_msg=str(path))
     np.testing.assert_allclose(np.asarray(gradp[1]), np.asarray(gradx[1]),
-                               atol=3e-5, rtol=1e-3)
+                               atol=6e-5, rtol=1e-3)
 
 
 def test_bf16_stream_stays_finite():
