@@ -85,7 +85,10 @@ class EaBNetConfig:
     bf_impl: str = "scan"        # "scan" | "pallas" (fused TPU kernel)
     # squeezed-TCN stack implementation: "pallas" fuses each whole TCM
     # group (fwd + custom-VJP bwd) into one activation-resident kernel
-    # (kernels/tcm_chain.py); auto-falls back to "xla" for norm != IN
+    # (kernels/tcm_chain.py); auto-falls back to "xla" for norm != IN.
+    # Measured parity with XLA's lowering on v5e (2.01 vs 2.07 ms
+    # fwd+bwd, see ROOFLINE.md) — the TCN stage is at its hardware
+    # floor, so the simpler XLA path stays the default
     tcn_impl: str = "xla"        # "xla" | "pallas"
 
     def __post_init__(self):

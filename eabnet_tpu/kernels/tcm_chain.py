@@ -33,6 +33,16 @@ twin_gate=True (EaBNet) and twin_gate=False (GaGNet). Norm support: IN
 (the reference default). Matches SqueezedTCNGroup and its jax.grad
 numerically (tested in interpret mode and on TPU,
 tests/test_tcm_chain.py).
+
+MEASURED RESULT (v5e, bf16, batch 8, T=601, interleaved 12-round A/B,
+min under tenant sharing — full table in ROOFLINE.md): fwd+bwd
+2.01 ms (pallas) vs 2.07 ms (xla) on the EaBNet stack, 0.77 vs 0.75 ms
+on the GaGNet glance stack — PARITY. The HBM round-trips this kernel
+removes are repaid by in-kernel recompute, rotate+mask shifts, and
+half-tile C=64 matmuls; with round 2's three rejected op
+restructurings this establishes the TCN stage is at its hardware floor.
+Kept as a parity-tested alternative (the experiment-ledger convention);
+the default stays tcn_impl="xla".
 """
 
 from __future__ import annotations
