@@ -1,0 +1,129 @@
+"""Batch-size throughput sweep in ONE process (fills ROOFLINE.md).
+
+The axon tunnel pays a full compile per fresh process (the persistent
+cache does not engage for this backend), so a sweep run as N separate
+``bench_train.py`` invocations costs N tunnel compiles. This tool builds
+and compiles the train step for every batch size first, then interleaves
+short timing rounds round-robin across the arms so every arm sees the
+same tenant load; the min statistic estimates dedicated-chip time.
+
+    python tools/bench_batch_sweep.py --batches 8,16,32,64
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="8,16,32,64")
+    ap.add_argument("--k", type=int, default=8,
+                    help="chained steps per timing round")
+    ap.add_argument("--rounds", type=int, default=12)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--platform", default="default",
+                    choices=["default", "cpu"],
+                    help="cpu = force the CPU backend (smoke-testing; the "
+                    "site hook ignores the JAX_PLATFORMS env var)")
+    ap.add_argument("--wav-seconds", type=float, default=None,
+                    help="override utterance length (smoke-testing)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="reduced model (wiring smoke-tests)")
+    args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from eabnet_tpu.config import (ComposedConfig, EaBNetConfig,
+                                   ExperimentConfig, GaGNetConfig,
+                                   TrainConfig)
+    from eabnet_tpu.train import create_train_state, make_train_step
+
+    def fetch(x):
+        return float(np.asarray(x))
+
+    arms = {}
+    rng = np.random.default_rng(0)
+    for b in batches:
+        tkw = dict(batch_size=b, compute_dtype=args.compute_dtype)
+        if args.wav_seconds is not None:
+            tkw["wav_len"] = args.wav_seconds
+        mkw = {}
+        if args.tiny:
+            mkw["model"] = ComposedConfig(
+                eabnet=EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16,
+                                    p=2, q=1),
+                gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2)))
+        cfg = ExperimentConfig(train=TrainConfig(**tkw), **mkw)
+        model, state = create_train_state(cfg, jax.random.key(0))
+        step = make_train_step(cfg, model, donate=False)
+        n = int(cfg.train.wav_len * cfg.stft.sr)
+        m = cfg.model.eabnet.M
+        noisy = jnp.asarray(
+            (rng.standard_normal((b, m, n)) * 0.05).astype(np.float32))
+        target = jnp.asarray(
+            (rng.standard_normal((b, n)) * 0.05).astype(np.float32))
+        t0 = time.time()
+        _, losses = step(state, noisy, target)
+        fetch(losses["final"])  # force compile + first run
+        flops = float("nan")
+        try:
+            ca = step.lower(state, noisy, target).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca.get("flops", float("nan")))
+        except Exception:
+            pass
+        arms[b] = dict(cfg=cfg, step=step, state=state, noisy=noisy,
+                       target=target, flops=flops, times=[])
+        print(f"[sweep] batch {b} compiled in {time.time() - t0:.0f}s "
+              f"({flops / 1e9:.0f} GFLOP/step)", flush=True)
+
+    triv = jax.jit(lambda x: x + 1.0)
+    fetch(triv(jnp.ones(1))[0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fetch(triv(jnp.ones(1))[0])
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"[sweep] tunnel rtt {rtt * 1000:.1f} ms", flush=True)
+
+    for r in range(args.rounds):
+        for b in batches:
+            a = arms[b]
+            cur = a["state"]
+            t0 = time.perf_counter()
+            for _ in range(args.k):
+                cur, losses = a["step"](cur, a["noisy"], a["target"])
+            fetch(losses["final"])
+            a["times"].append(time.perf_counter() - t0)
+        print(f"[sweep] round {r + 1}/{args.rounds}", flush=True)
+
+    peak = 197e12 if args.compute_dtype == "bfloat16" else 98.5e12
+    print(f"\n| batch | ms/step | audio-sec/s/chip | MFU |")
+    print("|---|---|---|---|")
+    for b in batches:
+        a = arms[b]
+        per = (float(np.min(a["times"])) - rtt) / args.k
+        wav_len = a["cfg"].train.wav_len
+        audio = b * wav_len / per
+        mfu = a["flops"] / per / peak * 100.0
+        print(f"| {b} | {per * 1000:.1f} | {audio:.0f} | {mfu:.1f}% |",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
