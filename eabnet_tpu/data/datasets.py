@@ -186,10 +186,16 @@ class OfflineMcseDataset:
             from scipy.io import wavfile
 
             _, data = wavfile.read(path)
-            if data.dtype != np.int16:  # non-int16 source: convert
-                data = (np.clip(data.astype(np.float64)
-                                / max(np.abs(data).max(), 1e-9), -1, 1)
-                        * 32767).astype(np.int16)
+            if data.dtype != np.int16:
+                # non-int16 source: quantize with the fixed [-1,1] PCM
+                # scale (NOT per-file peak normalization, which would
+                # rescale clean and noisy independently and distort
+                # their SNR relationship); int32 sources shift down
+                if data.dtype == np.int32:
+                    data = (data >> 16).astype(np.int16)
+                else:
+                    data = (np.clip(data.astype(np.float64), -1, 1)
+                            * 32767).astype(np.int16)
             return data.T if data.ndim == 2 else data
         _, data = read_wav(path)
         return data

@@ -37,6 +37,22 @@ def pair_root(tmp_path_factory):
     return str(root)
 
 
+def test_float_source_uses_fixed_pcm_scale(tmp_path):
+    """Non-int16 sources quantize with the fixed [-1,1] scale, NOT
+    per-file peak normalization (which would rescale clean and noisy
+    independently and distort their SNR relationship)."""
+    os.makedirs(tmp_path / "clean")
+    os.makedirs(tmp_path / "noisy")
+    x = np.full(64, 0.25, np.float32)  # peak well below full scale
+    write_wav(str(tmp_path / "clean" / "0.wav"), 16000, x, dtype="float32")
+    write_wav(str(tmp_path / "noisy" / "0.wav"), 16000,
+              np.stack([x, x]), dtype="float32")
+    ds = OfflineMcseDataset(str(tmp_path), transfer_int16=True)
+    noisy, clean = ds[0]
+    assert clean.dtype == np.int16
+    np.testing.assert_allclose(clean, int(0.25 * 32767), atol=1)
+
+
 def test_int16_batches_halve_bytes_and_match_float_loss(pair_root):
     ds16 = OfflineMcseDataset(pair_root, transfer_int16=True)
     ds32 = OfflineMcseDataset(pair_root)
