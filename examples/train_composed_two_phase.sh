@@ -21,13 +21,23 @@ set -e
 
 workdir=${1:-/root/longrun}
 
-python tools/long_train.py \
-  --workdir "$workdir" \
-  --max-steps 26000 \
-  --chunk 2000 \
-  --freeze-after 18000 \
-  --batch 8 \
-  --workers 2 \
-  --train-items 4000 \
-  --val-items 12 \
-  --seconds 6
+# --steps-per-process recycles the python process every 4000 steps (exit
+# code 75 -> relaunch; auto-resume picks up at the latest checkpoint).
+# This bounds host RSS on backends whose transfer client leaks every
+# host<->device batch (measured ~16 MB/step on the tunneled axon
+# backend, both directions, immune to explicit .delete()) at the cost of
+# one recompile per recycle.
+while :; do
+    python tools/long_train.py \
+      --workdir "$workdir" \
+      --max-steps 26000 \
+      --chunk 2000 \
+      --freeze-after 18000 \
+      --batch 8 \
+      --workers 2 \
+      --train-items 4000 \
+      --val-items 12 \
+      --seconds 6 \
+      --steps-per-process 4000 && ec=0 || ec=$?
+    [ $ec -eq 75 ] || exit $ec
+done

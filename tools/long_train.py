@@ -127,6 +127,15 @@ def main():
                     help="freeze the EaBNet beamformer from this step on "
                     "and train only the GaGNet post-filter "
                     "(reference: EaBNet.py:150-155)")
+    ap.add_argument("--steps-per-process", type=int, default=None,
+                    help="exit with code 75 (EX_TEMPFAIL) after advancing "
+                    "this many steps, so an outer loop re-execs a fresh "
+                    "process that resumes from the latest checkpoint. "
+                    "Works around the axon tunnel client leaking every "
+                    "host<->device transfer host-side (~16 MB/train step "
+                    "measured BOTH directions, .delete() doesn't help) — "
+                    "an unbounded process OOMs a 128 GB host after ~8k "
+                    "steps. See examples/train_composed_two_phase.sh")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"],
@@ -213,7 +222,14 @@ def main():
         done = int(os.path.basename(ck).split(".")[0])
         print(f"[long_train] resuming at step {done}", flush=True)
 
+    start = done
     while done < args.max_steps:
+        if (args.steps_per_process is not None
+                and done - start >= args.steps_per_process):
+            print(f"[long_train] recycling process at step {done} "
+                  f"(+{done - start} this process; transfer-leak "
+                  f"mitigation)", flush=True)
+            sys.exit(75)
         target = min(done + args.chunk, args.max_steps)
         frozen = args.freeze_after is not None and done >= args.freeze_after
         cfg = make_cfg(frozen)
