@@ -46,17 +46,45 @@ def save_checkpoint(state, epoch: int, directory: str) -> str:
     return path
 
 
+def save_params(params, directory: str, step: int) -> str:
+    """Write a params-only release artifact as `<step>.params` (atomic).
+
+    A third of the size of a full training checkpoint (no Adam moments) —
+    the format for shipping trained models. Loadable everywhere a full
+    checkpoint is (inference, eval, resume-with-fresh-optimizer), mirroring
+    how reference `.pth` files without optimizer state are consumed
+    (reference: train_distributed.py:48-57 degrades the same way)."""
+    os.makedirs(directory, exist_ok=True)
+    data = serialization.to_bytes({"params": jax.device_get(params)})
+    path = os.path.join(directory, f"{int(step)}.params")
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
 def latest_checkpoint(directory: str) -> Optional[str]:
     """Highest-iteration checkpoint in the directory (auto-resume policy of
     the reference, train_distributed.py:190-195). Also recognizes reference
-    `.pth` files so training can resume *from a torch run*."""
-    best, best_iter = None, -1
-    for path in glob.glob(os.path.join(directory, "*.ckpt")) + glob.glob(
-        os.path.join(directory, "*.pth")
-    ):
-        m = re.match(r"(\d+)\.(ckpt|pth)$", os.path.basename(path))
-        if m and int(m.group(1)) > best_iter:
-            best, best_iter = path, int(m.group(1))
+    `.pth` files so training can resume *from a torch run*, and params-only
+    `.params` release artifacts. A full `.ckpt` wins over a `.params` at
+    the same iteration (it carries the optimizer state)."""
+    best, best_iter, best_rank = None, -1, -1
+    rank = {"ckpt": 2, "pth": 1, "params": 0}
+    for ext in rank:
+        for path in glob.glob(os.path.join(directory, f"*.{ext}")):
+            m = re.match(r"(\d+)\.(ckpt|pth|params)$",
+                         os.path.basename(path))
+            if not m:
+                continue
+            it, r = int(m.group(1)), rank[m.group(2)]
+            if (it, r) > (best_iter, best_rank):
+                best, best_iter, best_rank = path, it, r
     return best
 
 
@@ -65,7 +93,19 @@ def load_checkpoint(path: str, state, cfg: ExperimentConfig) -> Tuple:
 
     For `.pth`: model params come through the torch converter; the optimizer
     state is reinitialized (torch Adam moments don't map onto optax layout).
+    For `.params` (release artifact from :func:`save_params`): params only,
+    step from the filename, fresh optimizer state.
     """
+    if path.endswith(".params"):
+        with open(path, "rb") as f:
+            data = f.read()
+        template = {"params": jax.device_get(state.params)}
+        params = serialization.from_bytes(template, data)["params"]
+        m = re.match(r"(\d+)\.params$", os.path.basename(path))
+        step = int(m.group(1)) if m else 0
+        state = state.replace(step=np.asarray(step, np.int32),
+                              params=params)
+        return state, 0
     if path.endswith(".pth"):
         from eabnet_tpu.utils.convert_torch import load_torch_checkpoint
 
