@@ -1,0 +1,47 @@
+"""The committed pretrained release model must actually enhance.
+
+Loads the in-repo release artifact (`release/composed_9mic/*.params`, the
+round-3 long-run composed model) and scores it on two items of the
+committed frozen val set — pinning the framework's end-to-end quality
+claim to artifacts that live in the repository, so a regression in any
+loader/DSP/model path that would silently corrupt released checkpoints
+fails CI. (The reference has no analog: it ships no weights at all.)
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+RELEASE = os.path.join(REPO, "release", "composed_9mic")
+VAL = os.path.join(REPO, "release", "val_set")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stage", ["esti0", "esti"])
+def test_release_model_beats_noisy(stage):
+    if not glob.glob(os.path.join(RELEASE, "*.params")):
+        pytest.skip("no release artifact present")
+    from eabnet_tpu.data import OfflineMcseDataset
+    from eabnet_tpu.eval import evaluate_dataset
+    from eabnet_tpu.inference import load_enhancer
+
+    enhancer = load_enhancer(RELEASE, output=stage)
+    val = OfflineMcseDataset(VAL)
+
+    def items(n=2):
+        for i in range(n):
+            noisy, clean = val[i]
+            yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
+
+    enh, _ = evaluate_dataset(enhancer, items(), sr=16000)
+    base, _ = evaluate_dataset(lambda n: n[0], items(), sr=16000)
+
+    # margins set at roughly half the measured step-26000 means
+    # (si_sdr +16 dB, stoi +0.18, estoi +0.25 over noisy on the full set)
+    assert enh.mean_std("si_sdr")[0] > base.mean_std("si_sdr")[0] + 8.0
+    assert enh.mean_std("stoi")[0] > base.mean_std("stoi")[0] + 0.08
+    assert enh.mean_std("estoi")[0] > base.mean_std("estoi")[0] + 0.10
+    assert enh.mean_std("pesq")[0] > base.mean_std("pesq")[0] + 0.3
