@@ -30,7 +30,7 @@ workdir=${1:-/root/longrun}
 while :; do
     python tools/long_train.py \
       --workdir "$workdir" \
-      --max-steps 26000 \
+      --max-steps 40000 \
       --chunk 2000 \
       --freeze-after 18000 \
       --batch 8 \
