@@ -124,3 +124,31 @@ def load_reference_experiment(exp_root: str) -> ExperimentConfig:
     with open(path, "rb") as f:
         ns = pickle.load(f)
     return config_from_reference_args(ns)
+
+
+def reference_args_from_config(cfg: ComposedConfig) -> Any:
+    """ComposedConfig -> argparse-namespace-like object accepted by the
+    reference model factories (`make_eabnet_with_postnet`,
+    reference: EaBNet.py:815-816; gagnet_* flag mapping,
+    train_distributed.py:303-318). The inverse of
+    :func:`config_from_reference_args` for the model fields — used when
+    exporting TPU-trained checkpoints back to the reference stack."""
+    import types
+
+    e, g = cfg.eabnet, cfg.gagnet
+    return types.SimpleNamespace(
+        k1=tuple(e.k1), k2=tuple(e.k2), c=e.c, M=e.M,
+        embed_dim=e.embed_dim, kd1=e.kd1, cd1=e.cd1, d_feat=e.d_feat,
+        p=e.p, q=e.q, is_causal=e.is_causal, is_u2=e.is_u2,
+        bf_type=e.bf_type, topo_type=e.topo_type,
+        intra_connect=e.intra_connect, norm_type=e.norm_type,
+        ref_mic=cfg.ref_mic, freeze_eabnet=cfg.freeze_eabnet,
+        gagnet_k1=tuple(g.k1), gagnet_k2=tuple(g.k2), gagnet_c=g.c,
+        gagnet_kd1=g.kd1, gagnet_cd1=g.cd1, gagnet_d_feat=g.d_feat,
+        gagnet_p=g.p, gagnet_q=g.q, gagnet_dilas=list(g.dilas),
+        gagnet_fft_num=g.fft_num, gagnet_is_u2=g.is_u2,
+        gagnet_is_causal=g.is_causal, gagnet_is_squeezed=g.is_squeezed,
+        gagnet_acti_type=g.acti_type,
+        gagnet_intra_connect=g.intra_connect,
+        gagnet_norm_type=g.norm_type,
+    )
