@@ -137,6 +137,12 @@ def main():
                     "an unbounded process OOMs a 128 GB host after ~8k "
                     "steps. See examples/train_composed_two_phase.sh")
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--norm-type", default=None,
+                    choices=["IN", "BN", "cLN"],
+                    help="override the norm for BOTH nets; cLN trains the "
+                    "causal-norm variant that the streaming engine can "
+                    "run frame-by-frame (IN cannot stream by "
+                    "construction, reference EaBNet.py:46-48)")
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"],
                     help="cpu = force the CPU backend (dry-run/testing)")
@@ -174,11 +180,16 @@ def main():
     from eabnet_tpu.train.trainer import train
 
     def make_cfg(frozen: bool) -> ExperimentConfig:
+        import dataclasses
+
         if args.tiny:
             eab = EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16, p=2, q=1)
             gag = GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2))
         else:
             eab, gag = EaBNetConfig(M=9), GaGNetConfig()
+        if args.norm_type is not None:
+            eab = dataclasses.replace(eab, norm_type=args.norm_type)
+            gag = dataclasses.replace(gag, norm_type=args.norm_type)
         return ExperimentConfig(
             model=ComposedConfig(
                 eabnet=eab,
