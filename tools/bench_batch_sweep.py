@@ -77,8 +77,14 @@ def main():
         target = jnp.asarray(
             (rng.standard_normal((b, n)) * 0.05).astype(np.float32))
         t0 = time.time()
-        _, losses = step(state, noisy, target)
-        fetch(losses["final"])  # force compile + first run
+        try:
+            _, losses = step(state, noisy, target)
+            fetch(losses["final"])  # force compile + first run
+        except Exception as e:  # e.g. batch exceeds single-chip HBM
+            print(f"[sweep] batch {b} SKIPPED (does not compile/fit on "
+                  f"one chip): {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
         flops = float("nan")
         try:
             ca = step.lower(state, noisy, target).compile().cost_analysis()
@@ -103,6 +109,8 @@ def main():
 
     for r in range(args.rounds):
         for b in batches:
+            if b not in arms:
+                continue
             a = arms[b]
             cur = a["state"]
             t0 = time.perf_counter()
@@ -116,6 +124,10 @@ def main():
     print(f"\n| batch | ms/step | audio-sec/s/chip | MFU |")
     print("|---|---|---|---|")
     for b in batches:
+        if b not in arms:
+            print(f"| {b} | does not fit on one chip | — | — |",
+                  flush=True)
+            continue
         a = arms[b]
         per = (float(np.min(a["times"])) - rtt) / args.k
         wav_len = a["cfg"].train.wav_len

@@ -56,7 +56,7 @@ def main(argv=None):
     fig.patch.set_facecolor(SURFACE)
     fig.suptitle(
         "Composed-model training: bare beamformer vs post-filtered output"
-        "  (frozen 11-item val set)",
+        "  (frozen 7-item val set)",
         fontsize=11, color=INK, x=0.5, y=0.995, fontweight="semibold",
     )
 
