@@ -75,21 +75,37 @@ class CumulativeLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, T, C) or (B, T, F, C); time is axis 1.
+        # Statistics are ALWAYS f32: the cumulative E[x^2]-E[x]^2 form
+        # cancels catastrophically when the sums accumulate in bf16 on
+        # TPU (counts reach ~6e6 elements at T=601), driving the
+        # variance negative -> sqrt NaN from the first training step.
+        # The streaming step (streaming/stream.py) carries its
+        # (count, sum, sq) state in f32 to match bit-for-bit.
         red_axes = tuple(range(2, x.ndim))  # channels (+freq)
         n_per_step = 1
         for a in red_axes:
             n_per_step *= x.shape[a]
-        step_sum = jnp.sum(x, axis=red_axes)  # (B, T)
-        step_sq = jnp.sum(jnp.square(x), axis=red_axes)
+        # One virtual zero-mean unit-variance frame (n_per_step pseudo
+        # elements) regularizes the earliest frames: causal padding makes
+        # frame-0 activations near-constant, so the raw cumulative sigma
+        # can be arbitrarily small there and every norm's backward scales
+        # by 1/sigma — ~30 stacked cLNs then overflow the gradients on
+        # the full-size model (observed: composed cLN training NaNs by
+        # step 4, f32 AND bf16). The prior bounds 1/sigma at t=0 and
+        # decays as 1/t; the streaming step applies the identical prior.
+        xf = x.astype(jnp.float32)
+        step_sum = jnp.sum(xf, axis=red_axes)  # (B, T)
+        step_sq = jnp.sum(jnp.square(xf), axis=red_axes)
         cum_sum = jnp.cumsum(step_sum, axis=1)
-        cum_sq = jnp.cumsum(step_sq, axis=1)
-        cnt = (jnp.arange(1, x.shape[1] + 1, dtype=x.dtype) * n_per_step)
+        cum_sq = jnp.cumsum(step_sq, axis=1) + n_per_step
+        cnt = (jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)
+               * n_per_step) + n_per_step
         cum_mean = cum_sum / cnt
-        cum_var = cum_sq / cnt - jnp.square(cum_mean)
+        cum_var = jnp.maximum(cum_sq / cnt - jnp.square(cum_mean), 0.0)
         shape = cum_mean.shape + (1,) * (x.ndim - 2)
         cum_mean = cum_mean.reshape(shape)
         cum_std = jnp.sqrt(cum_var + self.eps).reshape(shape)
-        y = (x - cum_mean) / cum_std
+        y = ((xf - cum_mean) / cum_std).astype(x.dtype)
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
         return y * gamma.astype(x.dtype) + beta.astype(x.dtype)

@@ -128,18 +128,25 @@ class _NormStepper:
             var = stats["norm"]["var"]
             y = (x - mean) / jnp.sqrt(var + eps)
             return state, y * p["scale"] + p["bias"]
-        # cLN: accumulate over (channels [+freq]) per frame
+        # cLN: accumulate over (channels [+freq]) per frame. The carried
+        # (count, sum, sq) state is ALWAYS f32, matching the offline
+        # norm's f32 statistics (nn/norms.py: bf16 accumulation cancels
+        # catastrophically in the E[x^2]-E[x]^2 form).
+        xf = x.astype(jnp.float32)
         red = tuple(range(1, x.ndim))
         n_new = float(np.prod(x.shape[1:]))
         count = state["count"] + n_new
-        s = state["sum"] + jnp.sum(x, axis=red)
-        sq = state["sq"] + jnp.sum(jnp.square(x), axis=red)
-        mean = s / count
-        var = sq / count - jnp.square(mean)
+        s = state["sum"] + jnp.sum(xf, axis=red)
+        sq = state["sq"] + jnp.sum(jnp.square(xf), axis=red)
+        # identical unit-variance virtual-frame prior to the offline norm
+        # (nn/norms.py): n_per_step pseudo elements, mean 0, var 1
+        mean = s / (count + n_new)
+        var = jnp.maximum((sq + n_new) / (count + n_new)
+                          - jnp.square(mean), 0.0)
         shape = (-1,) + (1,) * (x.ndim - 1)
-        y = (x - mean.reshape(shape)) / jnp.sqrt(
+        y = ((xf - mean.reshape(shape)) / jnp.sqrt(
             var.reshape(shape) + eps
-        )
+        )).astype(x.dtype)
         y = y * p["scale"] + p["bias"]
         return {"count": count, "sum": s, "sq": sq}, y
 
