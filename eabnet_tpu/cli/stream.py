@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--exp-root", required=True)
     parser.add_argument("--ckpt", default=None)
     parser.add_argument("--mic-permutation", default=None)
+    parser.add_argument("--output-stage", default="esti",
+                        choices=["esti", "esti0"],
+                        help="esti = composed EaBNet+GaGNet, esti0 = bare "
+                        "EaBNet beamformer (same choice as cli.enhance)")
     args = parser.parse_args(argv)
 
     from eabnet_tpu.cli.common import respect_jax_platforms_env
@@ -59,7 +63,7 @@ def main(argv=None):
         stft_state, frame = s_stft.push(stft_state, block)  # (1,M,F,2)
         frame = jnp.transpose(frame, (0, 2, 1, 3))  # (1, F, M, 2)
         model_state, out = model.step(model_state, frame)
-        esti = out["esti"]
+        esti = out[args.output_stage]
         if cfg.stft.decompress_output:
             # same inverse power compression as the offline stft_to_wav
             from eabnet_tpu.dsp import power_uncompress
