@@ -16,12 +16,21 @@ import pytest
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 RELEASE = os.path.join(REPO, "release", "composed_9mic")
+RELEASE_CLN = os.path.join(REPO, "release", "eabnet_9mic_cln")
 VAL = os.path.join(REPO, "release", "val_set")
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("stage", ["esti0", "esti"])
-def test_release_model_beats_noisy(stage):
+@pytest.mark.parametrize(
+    "release,stage",
+    [(RELEASE, "esti0"), (RELEASE, "esti"),
+     # streaming-capable cLN artifact: beamformer stage only (its
+     # post-filter is released mid-recipe, release/README.md)
+     (RELEASE_CLN, "esti0")],
+    ids=["in-esti0", "in-esti", "cln-esti0"],
+)
+def test_release_model_beats_noisy(release, stage):
+    RELEASE = release
     if not glob.glob(os.path.join(RELEASE, "*.params")):
         pytest.skip("no release artifact present")
     from eabnet_tpu.data import OfflineMcseDataset
