@@ -176,14 +176,17 @@ def _snorm(x, scale_bias, norm_type: str, eps: float = 1e-5):
         y = (x - mean) / jnp.sqrt(var + eps)
     elif norm_type == "cLN":
         # CumulativeLayerNorm on (B,T,C): stats over channels, cumulative
-        # over time (norms.py:76-95)
+        # over time — must match norms.py exactly: f32 statistics,
+        # unit-variance virtual-frame prior, clamped variance
         n = x.shape[-1]
-        cum_sum = jnp.cumsum(jnp.sum(x, axis=-1), axis=2)
-        cum_sq = jnp.cumsum(jnp.sum(jnp.square(x), axis=-1), axis=2)
-        cnt = jnp.arange(1, x.shape[2] + 1, dtype=x.dtype) * n
+        xf = x.astype(jnp.float32)
+        cum_sum = jnp.cumsum(jnp.sum(xf, axis=-1), axis=2)
+        cum_sq = jnp.cumsum(jnp.sum(jnp.square(xf), axis=-1), axis=2) + n
+        cnt = (jnp.arange(1, x.shape[2] + 1, dtype=jnp.float32) * n) + n
         mean = (cum_sum / cnt)[..., None]
-        var = (cum_sq / cnt)[..., None] - jnp.square(mean)
-        y = (x - mean) / jnp.sqrt(var + eps)
+        var = jnp.maximum((cum_sq / cnt)[..., None] - jnp.square(mean),
+                          0.0)
+        y = ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
     else:  # pragma: no cover - guarded by fusion eligibility
         raise ValueError(f"unfusible norm {norm_type!r}")
     return y * scale[:, None, None, :].astype(x.dtype) \
