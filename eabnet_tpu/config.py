@@ -80,7 +80,7 @@ class EaBNetConfig:
     bf_type: str = "lstm"        # "lstm" | "cnn"
     topo_type: str = "mimo"      # "mimo" | "miso"
     intra_connect: str = "cat"   # "cat" | "add"
-    norm_type: str = "IN"        # "BN" | "IN" | "cLN"
+    norm_type: str = "IN"        # "BN" | "IN" | "cLN" | "cLN-ref"
     hid_node: int = 64           # LSTM hidden size in the beamforming head
     bf_impl: str = "scan"        # "scan" | "pallas" (fused TPU kernel)
     # squeezed-TCN stack implementation: "pallas" fuses each whole TCM
@@ -97,7 +97,7 @@ class EaBNetConfig:
         assert self.bf_type in ("lstm", "cnn")
         assert self.topo_type in ("mimo", "miso")
         assert self.intra_connect in ("cat", "add")
-        assert self.norm_type in ("BN", "IN", "cLN")
+        assert self.norm_type in ("BN", "IN", "cLN", "cLN-ref")
 
 
 @dataclass(frozen=True)
@@ -139,7 +139,7 @@ class GaGNetConfig:
         object.__setattr__(self, "k2", _astuple(self.k2))
         object.__setattr__(self, "dilas", tuple(int(d) for d in self.dilas))
         assert self.acti_type in ("sigmoid", "tanh", "relu")
-        assert self.norm_type in ("BN", "IN", "cLN")
+        assert self.norm_type in ("BN", "IN", "cLN", "cLN-ref")
 
     @property
     def freq_bins(self) -> int:

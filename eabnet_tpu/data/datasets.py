@@ -193,9 +193,17 @@ class OfflineMcseDataset:
                 # their SNR relationship); int32 sources shift down
                 if data.dtype == np.int32:
                     data = (data >> 16).astype(np.int16)
-                else:
+                elif data.dtype == np.uint8:
+                    # 8-bit PCM is offset-binary (0..255, midpoint 128)
+                    data = ((data.astype(np.int16) - 128) << 8)
+                elif np.issubdtype(data.dtype, np.floating):
                     data = (np.clip(data.astype(np.float64), -1, 1)
                             * 32767).astype(np.int16)
+                else:
+                    raise ValueError(
+                        f"unsupported wav sample dtype {data.dtype} "
+                        f"in {path}"
+                    )
             return data.T if data.ndim == 2 else data
         _, data = read_wav(path)
         return data

@@ -174,15 +174,17 @@ def _snorm(x, scale_bias, norm_type: str, eps: float = 1e-5):
         mean = jnp.mean(x, axis=2, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=2, keepdims=True)
         y = (x - mean) / jnp.sqrt(var + eps)
-    elif norm_type == "cLN":
+    elif norm_type in ("cLN", "cLN-ref"):
         # CumulativeLayerNorm on (B,T,C): stats over channels, cumulative
         # over time — must match norms.py exactly: f32 statistics,
-        # unit-variance virtual-frame prior, clamped variance
+        # unit-variance virtual-frame prior (dropped for "cLN-ref"),
+        # clamped variance
         n = x.shape[-1]
+        pr = n if norm_type == "cLN" else 0
         xf = x.astype(jnp.float32)
         cum_sum = jnp.cumsum(jnp.sum(xf, axis=-1), axis=2)
-        cum_sq = jnp.cumsum(jnp.sum(jnp.square(xf), axis=-1), axis=2) + n
-        cnt = (jnp.arange(1, x.shape[2] + 1, dtype=jnp.float32) * n) + n
+        cum_sq = jnp.cumsum(jnp.sum(jnp.square(xf), axis=-1), axis=2) + pr
+        cnt = (jnp.arange(1, x.shape[2] + 1, dtype=jnp.float32) * n) + pr
         mean = (cum_sum / cnt)[..., None]
         var = jnp.maximum((cum_sq / cnt)[..., None] - jnp.square(mean),
                           0.0)

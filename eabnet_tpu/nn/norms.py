@@ -71,6 +71,7 @@ class CumulativeLayerNorm(nn.Module):
 
     features: int
     eps: float = 1e-5
+    prior: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,13 +94,18 @@ class CumulativeLayerNorm(nn.Module):
         # the full-size model (observed: composed cLN training NaNs by
         # step 4, f32 AND bf16). The prior bounds 1/sigma at t=0 and
         # decays as 1/t; the streaming step applies the identical prior.
+        # prior=False ("cLN-ref" in NormSwitch) drops the virtual frame
+        # for exact reference-intended semantics (EaBNet.py:717-726 has
+        # no prior) — use it when interoperating cLN checkpoints with
+        # the torch stack bit-for-bit.
         xf = x.astype(jnp.float32)
+        pr = n_per_step if self.prior else 0
         step_sum = jnp.sum(xf, axis=red_axes)  # (B, T)
         step_sq = jnp.sum(jnp.square(xf), axis=red_axes)
         cum_sum = jnp.cumsum(step_sum, axis=1)
-        cum_sq = jnp.cumsum(step_sq, axis=1) + n_per_step
+        cum_sq = jnp.cumsum(step_sq, axis=1) + pr
         cnt = (jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)
-               * n_per_step) + n_per_step
+               * n_per_step) + pr
         cum_mean = cum_sum / cnt
         cum_var = jnp.maximum(cum_sq / cnt - jnp.square(cum_mean), 0.0)
         shape = cum_mean.shape + (1,) * (x.ndim - 2)
@@ -112,7 +118,15 @@ class CumulativeLayerNorm(nn.Module):
 
 
 class NormSwitch(nn.Module):
-    """BN / IN / cLN selector (reference: EaBNet.py:662-694)."""
+    """BN / IN / cLN selector (reference: EaBNet.py:662-694).
+
+    "cLN" is the gradient-stabilized variant (virtual-frame prior; see
+    CumulativeLayerNorm) — the recommended training configuration.
+    "cLN-ref" is the exact reference-intended cumulative norm
+    (EaBNet.py:717-726, no prior) for bit-exact torch interop of cLN
+    checkpoints; its early-frame 1/sigma is unbounded, so prefer "cLN"
+    for training from scratch.
+    """
 
     norm_type: str
     features: int
@@ -130,4 +144,7 @@ class NormSwitch(nn.Module):
             return InstanceNorm(self.features, name="norm")(x)
         if self.norm_type == "cLN":
             return CumulativeLayerNorm(self.features, name="norm")(x)
+        if self.norm_type == "cLN-ref":
+            return CumulativeLayerNorm(self.features, prior=False,
+                                       name="norm")(x)
         raise ValueError(f"unknown norm_type {self.norm_type!r}")

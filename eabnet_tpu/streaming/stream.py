@@ -111,7 +111,7 @@ class _NormStepper:
         self.norm_type = norm_type
 
     def init(self, b: int) -> Any:
-        if self.norm_type == "cLN":
+        if self.norm_type in ("cLN", "cLN-ref"):
             return {
                 "count": jnp.zeros((b,), jnp.float32),
                 "sum": jnp.zeros((b,), jnp.float32),
@@ -139,9 +139,12 @@ class _NormStepper:
         s = state["sum"] + jnp.sum(xf, axis=red)
         sq = state["sq"] + jnp.sum(jnp.square(xf), axis=red)
         # identical unit-variance virtual-frame prior to the offline norm
-        # (nn/norms.py): n_per_step pseudo elements, mean 0, var 1
-        mean = s / (count + n_new)
-        var = jnp.maximum((sq + n_new) / (count + n_new)
+        # (nn/norms.py): n_per_step pseudo elements, mean 0, var 1.
+        # "cLN-ref" drops the prior (exact reference-intended semantics,
+        # EaBNet.py:717-726) to match the offline prior=False norm.
+        pr = n_new if self.norm_type == "cLN" else 0.0
+        mean = s / (count + pr)
+        var = jnp.maximum((sq + pr) / (count + pr)
                           - jnp.square(mean), 0.0)
         shape = (-1,) + (1,) * (x.ndim - 1)
         y = ((xf - mean.reshape(shape)) / jnp.sqrt(

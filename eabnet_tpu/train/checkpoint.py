@@ -85,6 +85,18 @@ def latest_checkpoint(directory: str) -> Optional[str]:
             it, r = int(m.group(1)), rank[m.group(2)]
             if (it, r) > (best_iter, best_rank):
                 best, best_iter, best_rank = path, it, r
+    if (best is not None and best.endswith(".params")
+            and glob.glob(os.path.join(directory, "*.ckpt"))):
+        # a params-only artifact outranks full .ckpt files by iteration:
+        # resuming from it silently resets Adam moments — make it visible
+        import warnings
+
+        warnings.warn(
+            f"auto-resume selected params-only {os.path.basename(best)} "
+            f"over lower-iteration .ckpt files in {directory}; optimizer "
+            f"state will be reinitialized",
+            stacklevel=2,
+        )
     return best
 
 

@@ -377,6 +377,36 @@ def convert_composed(sd: Mapping, cfg: ComposedConfig) -> Dict:
     }
 
 
+def _warn_cln_interop(cfg) -> None:
+    """norm_type="cLN" intentionally diverges from the reference's
+    cumulative norm: a virtual-frame variance prior stabilizes early-
+    frame gradients (nn/norms.py; the reference's own cLN branch crashes
+    as written, EaBNet.py:689-691, and its intended math at
+    EaBNet.py:717-726 has no prior). Converted cLN checkpoints therefore
+    produce different activations across the torch<->flax boundary —
+    largest at the first frames, decaying ~1/t (pinned in
+    tests/test_parity_cln.py). norm_type="cLN-ref" is bit-exact."""
+    import warnings
+
+    norms = set()
+    for sub in ("eabnet", "gagnet"):
+        m = getattr(cfg, sub, None)
+        if m is not None:
+            norms.add(m.norm_type)
+    if norms == set():  # bare EaBNetConfig / GaGNetConfig
+        norms.add(getattr(cfg, "norm_type", None))
+    if "cLN" in norms:
+        warnings.warn(
+            "norm_type='cLN' uses a virtual-frame variance prior that the "
+            "reference's cumulative norm does not (gradient stabilization; "
+            "see nn/norms.py). Converted checkpoints will NOT be "
+            "numerically identical across the torch<->flax boundary at "
+            "early frames (divergence decays ~1/t). For exact interop use "
+            "norm_type='cLN-ref'.",
+            stacklevel=3,
+        )
+
+
 def load_torch_checkpoint(path: str, cfg: ComposedConfig) -> Dict:
     """Load a reference `<iter>.pth` checkpoint file and convert it.
 
@@ -384,6 +414,7 @@ def load_torch_checkpoint(path: str, cfg: ComposedConfig) -> Dict:
     """
     import torch
 
+    _warn_cln_interop(cfg)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
     return {"params": convert_composed(sd, cfg)}

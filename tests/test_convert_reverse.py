@@ -47,11 +47,13 @@ def small_cfg():
 
 @pytest.fixture(scope="module")
 def ref_mod():
+    saved = (torch.Tensor.cuda, torch.nn.Module.cuda)
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
     import EaBNet as mod
 
-    return mod
+    yield mod
+    torch.Tensor.cuda, torch.nn.Module.cuda = saved
 
 
 def test_roundtrip_bit_exact_and_strict_load(ref_mod):

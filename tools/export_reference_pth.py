@@ -43,9 +43,12 @@ def main(argv=None):
     )
     from eabnet_tpu.train.step import create_train_state
     from eabnet_tpu.utils.convert_args import reference_args_from_config
-    from eabnet_tpu.utils.convert_torch import export_torch_state_dict
+    from eabnet_tpu.utils.convert_torch import (
+        _warn_cln_interop, export_torch_state_dict,
+    )
 
     cfg = ExperimentConfig.load(os.path.join(args.exp_root, "config.json"))
+    _warn_cln_interop(cfg.model)
     ckpt = args.ckpt or latest_checkpoint(
         os.path.join(args.exp_root, "ckpt")
     ) or latest_checkpoint(args.exp_root)
