@@ -1,11 +1,12 @@
 """The committed pretrained release model must actually enhance.
 
 Loads the in-repo release artifact (`release/composed_9mic/*.params`, the
-round-3 long-run composed model) and scores it on two items of the
-committed frozen val set — pinning the framework's end-to-end quality
-claim to artifacts that live in the repository, so a regression in any
-loader/DSP/model path that would silently corrupt released checkpoints
-fails CI. (The reference has no analog: it ships no weights at all.)
+round-3 long-run composed model) and scores it on six items of the
+committed 48-item held-out set (`release/val_set_large`) — pinning the
+framework's end-to-end quality claim to artifacts that live in the
+repository, so a regression in any loader/DSP/model path that would
+silently corrupt released checkpoints fails CI. (The reference has no
+analog: it ships no weights at all.)
 """
 
 import glob
@@ -17,7 +18,8 @@ import pytest
 REPO = os.path.join(os.path.dirname(__file__), "..")
 RELEASE = os.path.join(REPO, "release", "composed_9mic")
 RELEASE_CLN = os.path.join(REPO, "release", "eabnet_9mic_cln")
-VAL = os.path.join(REPO, "release", "val_set")
+VAL = os.path.join(REPO, "release", "val_set_large")
+N_ITEMS = 6
 
 
 @pytest.mark.slow
@@ -40,7 +42,7 @@ def test_release_model_beats_noisy(release, stage):
     enhancer = load_enhancer(RELEASE, output=stage)
     val = OfflineMcseDataset(VAL)
 
-    def items(n=2):
+    def items(n=N_ITEMS):
         for i in range(n):
             noisy, clean = val[i]
             yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
