@@ -54,3 +54,58 @@ def test_two_process_sharded_val_reduction(tmp_path):
                                                  rel=1e-6)
     assert [r["process_id"] for r in results] == [0, 1]
     assert [r["is_chief"] for r in results] == [True, False]
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """A jitted train step over a global 2-device mesh spanning two
+    processes — the gradient all-reduce crosses the process boundary —
+    must produce the same params as the single-process 2-virtual-device
+    run on the same global batches (reference capability: DDP gradient
+    all-reduce, train_distributed.py:198)."""
+    import numpy as np
+
+    worker = os.path.join(ROOT, "tests", "_two_process_train_worker.py")
+
+    # single-process reference: 2 virtual CPU devices
+    env1 = dict(os.environ)
+    env1["JAX_PLATFORMS"] = "cpu"
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    single_out = str(tmp_path / "single.npz")
+    p = subprocess.run(
+        [sys.executable, worker, "-", "single", single_out],
+        env=env1, cwd=ROOT, capture_output=True, timeout=900,
+    )
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+
+    # two coordinated processes, one CPU device each
+    coord = f"localhost:{_free_port()}"
+    env2 = dict(os.environ)
+    env2["JAX_PLATFORMS"] = "cpu"
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    outs = [str(tmp_path / f"train_p{i}.npz") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(i), outs[i]],
+            env=env2, cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    ref = np.load(single_out)
+    for out in outs:
+        got = np.load(out)
+        assert set(got.files) == set(ref.files)
+        # loss trajectories identical on every process
+        np.testing.assert_allclose(
+            got["__losses__"], ref["__losses__"], rtol=1e-6, atol=0
+        )
+        # updated params match the single-process ground truth
+        for k in ref.files:
+            np.testing.assert_allclose(
+                got[k], ref[k], rtol=0, atol=1e-6, err_msg=k
+            )
