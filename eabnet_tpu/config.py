@@ -90,6 +90,11 @@ class EaBNetConfig:
     # fwd+bwd, see ROOFLINE.md) — the TCN stage is at its hardware
     # floor, so the simpler XLA path stays the default
     tcn_impl: str = "xla"        # "xla" | "pallas"
+    # selective rematerialization of the LSTM-BF scan body: trades ~2x
+    # gate recompute in the backward for NOT storing the per-step
+    # activation blocks that set the single-chip batch ceiling
+    # (ROOFLINE.md: batch-24 OOM pinned on this head)
+    bf_remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

@@ -2,15 +2,28 @@
 
 Replaces the reference's pyroomacoustics C++ dependency
 (dataset/audio_util.py:49-88) with a self-contained shoebox image-source
-model (Allen & Berkley) plus an energy-matched stochastic diffuse tail for
-the late reverberation:
+model (Allen & Berkley) plus a geometrically exact late field:
 
 - ``method='ism'``     : pure image sources up to ``max_order``;
-- ``method='hybrid'``  : image sources to order 3 + a Sabine-matched
-  exponentially-decaying noise tail. The reference's hybrid mode is
-  ISM(3) + C++ ray tracing (audio_util.py:56-63); a stochastic tail with
-  the same RT60 energy envelope is the established lightweight equivalent
-  and keeps the data envelope (RT60 0.05-0.7 s) intact.
+- ``method='hybrid'``  : image sources to order 3 + a late tail shaped by
+  the EXACT high-order image-source energy histogram. The reference's
+  hybrid mode is ISM(3) + stochastic C++ ray tracing with air absorption
+  (audio_util.py:55-63, ``pra.ShoeBox(max_order=3, ray_tracing=True,
+  air_absorption=True)``). For a shoebox whose walls have no scattering
+  coefficient — exactly what ``pra.Material(e_absorption)`` builds —
+  specular ray tracing *converges to the image-source energy histogram*
+  as the ray count grows: every specular ray path in a box unfolds to a
+  straight line toward one lattice image. Computing that histogram in
+  closed form (energy-only image enumeration binned at pra's 4 ms
+  resolution, reflection orders > 3 only, air absorption applied) is the
+  zero-variance limit of the reference's own late-field generator; the
+  tail waveform is then histogram-shaped noise, the same synthesis pra
+  uses for its ray-traced energy. Validated against the brute-force
+  full-order ISM in tests/test_rir_hist.py.
+- ``method='hybrid-sabine'``: the previous lightweight tail — white noise
+  under the Polack diffuse-field envelope c/(4 pi V) 10^(-6 t / rt60).
+  Kept as a fast fallback and as the A/B arm of the in-image late-tail
+  conformance test.
 
 A vectorized numpy implementation is the reference path; a C++ engine with
 identical semantics (eabnet_tpu/native) is used automatically when built —
@@ -27,6 +40,15 @@ import numpy as np
 
 SPEED_OF_SOUND = 343.0
 FDL = 81  # fractional-delay filter length (odd)
+
+# Energy air-absorption coefficient (1/m): speech-band average of the
+# ISO 9613-1 atmospheric attenuation at 20 degC / 50 % RH that
+# pyroomacoustics applies per octave band when air_absorption=True (the
+# reference's hybrid rooms always enable it, audio_util.py:55-63).
+# 1 kHz is ~3.7 dB/km -> 8.5e-4 /m energy; 2 kHz ~9.7 dB/km -> 2.2e-3.
+DEFAULT_AIR_ABSORPTION = 1.5e-3
+
+HIST_BIN_S = 0.004  # pra's ray-tracing energy histogram resolution
 
 
 def inverse_sabine(rt60: float, room_dim: Sequence[float],
@@ -95,6 +117,148 @@ def _image_sources(
     return pos, total[keep]
 
 
+def _fibonacci_directions(n: int = 512) -> np.ndarray:
+    """Deterministic quasi-uniform unit directions (N, 3)."""
+    i = np.arange(n) + 0.5
+    phi = np.pi * (3.0 - math.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * i / n
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+
+def ism_energy_histogram(
+    room_dim: Sequence[float],
+    src: Sequence[float],
+    mics: np.ndarray,
+    e_absorption: float,
+    ism_order: int,
+    t_max: float,
+    air_absorption: float = DEFAULT_AIR_ABSORPTION,
+    c: float = SPEED_OF_SOUND,
+    bin_s: float = HIST_BIN_S,
+    images_per_bin: float = 300.0,
+    n_dirs: int = 512,
+) -> np.ndarray:
+    """Late-field energy histogram: (M, n_bins) of arriving energy per
+    ``bin_s`` window from reflection orders > ``ism_order``.
+
+    The exact limit of the reference's specular ray tracer (see module
+    docstring). Two regimes, stitched at the mixing time ``t_ex`` where
+    the image shell population reaches ``images_per_bin`` per bin:
+
+    * ``t < t_ex``: exact lattice enumeration — every image source with
+      order > ism_order contributes beta2^n * e^(-alpha d) / (4 pi d)^2
+      to its arrival bin (per mic; keeps the true early-late structure
+      and mic-position dependence).
+    * ``t >= t_ex``: the lattice continuum (image density 1/V — Cremer's
+      anisotropic decay): E(t) = c/(4 pi V) * e^(-alpha c t) *
+      <beta2^(c t sum_i |u_i| / L_i)>_directions, evaluated with a
+      deterministic Fibonacci quadrature (|u_i|/L_i = wall hits per
+      meter along u; its spherical mean is the classical S/4V). This is
+      the large-t limit of the same lattice sum (bins hold hundreds of
+      images, so the binned sum self-averages to its expectation); the
+      isotropic-exponent special case of this integral is the
+      Polack/Sabine envelope of :func:`apply_diffuse_tail`.
+    """
+    room = np.asarray(room_dim, np.float64)
+    src = np.asarray(src, np.float64)
+    mics = np.atleast_2d(np.asarray(mics, np.float64))
+    if mics.shape[0] == 3 and mics.shape[1] != 3:
+        mics = mics.T
+    m = mics.shape[0]
+    vol = float(np.prod(room))
+    beta2 = max(0.0, 1.0 - e_absorption)
+    n_bins = max(1, int(math.ceil(t_max / bin_s)))
+    hist = np.zeros((m, n_bins), np.float64)
+    if beta2 <= 0.0:
+        return hist
+
+    # mixing time: image shell population per bin = 4 pi (ct)^2 c bin / V
+    t_ex = math.sqrt(
+        images_per_bin * vol / (4.0 * np.pi * c**3 * bin_s)
+    )
+    t_ex = min(t_ex, t_max)
+
+    # ---- exact enumeration below t_ex ----
+    r_ex = c * t_ex + float(np.linalg.norm(room))
+    per_axis = []
+    for ax in range(3):
+        k = int(math.ceil(r_ex / (2.0 * room[ax]))) + 1
+        r = np.arange(-k, k + 1)
+        coords = np.concatenate([2 * r * room[ax] + src[ax],
+                                 2 * r * room[ax] - src[ax]])
+        refl = np.concatenate([2 * np.abs(r),
+                               np.abs(2 * r - 1)])
+        per_axis.append((coords, refl))
+    cx, rx = per_axis[0]
+    cy, ry = per_axis[1]
+    cz, rz = per_axis[2]
+    # chunk the x axis to bound the (kx, Ky, Kz) broadcast
+    chunk = max(1, int(4e6 // max(1, len(cy) * len(cz))))
+    for s in range(0, len(cx), chunk):
+        pxc, rxc = cx[s : s + chunk], rx[s : s + chunk]
+        n = (rxc[:, None, None] + ry[None, :, None]
+             + rz[None, None, :])
+        base_e = beta2 ** n  # (kx, Ky, Kz)
+        for mi in range(m):
+            d2 = (
+                np.square(pxc - mics[mi, 0])[:, None, None]
+                + np.square(cy - mics[mi, 1])[None, :, None]
+                + np.square(cz - mics[mi, 2])[None, None, :]
+            )
+            d = np.sqrt(d2)
+            t = d / c
+            sel = (n > ism_order) & (t < t_ex)
+            if not sel.any():
+                continue
+            ds = d[sel]
+            e = base_e[sel] * np.exp(-air_absorption * ds) / (
+                16.0 * np.pi**2 * np.maximum(d2[sel], 1e-6)
+            )
+            bins = (t[sel] / bin_s).astype(np.int64)
+            hist[mi] += np.bincount(bins, weights=e, minlength=n_bins)
+
+    # ---- lattice continuum beyond t_ex ----
+    if t_ex < t_max:
+        u = np.abs(_fibonacci_directions(n_dirs))  # (N, 3)
+        rate = (u / room[None, :]).sum(axis=1)  # (N,) wall hits per m
+        tb = (np.arange(n_bins) + 0.5) * bin_s
+        late = tb >= t_ex
+        ctb = c * tb[late]
+        a_t = np.mean(
+            np.power(beta2, ctb[:, None] * rate[None, :]), axis=1
+        )
+        e_t = (c * bin_s / (4.0 * np.pi * vol)) * np.exp(
+            -air_absorption * ctb
+        ) * a_t
+        hist[:, late] += e_t[None, :]
+    return hist
+
+
+def histogram_tail(
+    hist: np.ndarray,
+    fs: int,
+    rng: Optional[np.random.Generator],
+    bin_s: float = HIST_BIN_S,
+) -> np.ndarray:
+    """Synthesize the late-field waveform from an energy histogram:
+    per-bin white noise carrying exactly the bin's energy — the same
+    noise-carrier synthesis pyroomacoustics applies to its ray-traced
+    histogram."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    m, n_bins = hist.shape
+    spb = max(1, int(round(bin_s * fs)))  # samples per bin
+    length = n_bins * spb
+    g = rng.standard_normal((m, length))
+    # normalize each bin's noise to unit energy, then scale to E_bin
+    gb = g.reshape(m, n_bins, spb)
+    norm = np.sqrt(np.sum(gb**2, axis=2, keepdims=True))
+    norm = np.maximum(norm, 1e-12)
+    amp = np.sqrt(np.maximum(hist, 0.0))[:, :, None]
+    return (gb / norm * amp).reshape(m, length).astype(np.float32)
+
+
 def shoebox_rir(
     room_dim: Sequence[float],
     src: Sequence[float],
@@ -106,12 +270,18 @@ def shoebox_rir(
     rt60: Optional[float] = None,
     rng: Optional[np.random.Generator] = None,
     c: float = SPEED_OF_SOUND,
+    air_absorption: Optional[float] = None,
 ) -> np.ndarray:
     """RIRs from one source to ``mics (M, 3)`` -> (M, L) float32.
 
-    method='hybrid' caps the ISM at order 3 and appends a diffuse tail whose
-    exponential envelope continues the image-source decay at the measured
-    level (requires ``rt60`` and ``rng``).
+    method='hybrid' runs the ISM at order 3 and adds the late field from
+    the exact image-source energy histogram — the reference's hybrid
+    semantics (ISM(3) + specular ray tracing + air absorption,
+    audio_util.py:55-63) in closed form; ``rt60`` bounds the tail length.
+    method='hybrid-sabine' appends the lightweight Polack-envelope noise
+    tail instead. ``air_absorption`` (energy, 1/m) defaults to the
+    speech-band ISO 9613-1 average for 'hybrid' (the reference always
+    enables air absorption in hybrid rooms) and 0 otherwise.
     """
     room = np.asarray(room_dim, np.float64)
     src = np.asarray(src, np.float64)
@@ -119,7 +289,15 @@ def shoebox_rir(
     if mics.shape[0] == 3 and mics.shape[1] != 3:
         mics = mics.T  # accept (3, M)
 
-    ism_order = min(max_order, 3) if method == "hybrid" else max_order
+    hybrid_hist = method == "hybrid" and rt60 is not None
+    if method == "hybrid-sabine" or (method == "hybrid" and not hybrid_hist):
+        ism_order = min(max_order, 3)
+    elif hybrid_hist:
+        ism_order = 3  # reference: pra.ShoeBox(max_order=3, ...)
+    else:
+        ism_order = max_order
+    if air_absorption is None:
+        air_absorption = DEFAULT_AIR_ABSORPTION if hybrid_hist else 0.0
     beta = math.sqrt(max(0.0, 1.0 - e_absorption))
     pos, n_refl = _image_sources(src, room, ism_order)
     damp = beta ** n_refl  # (K,)
@@ -132,6 +310,8 @@ def shoebox_rir(
         d = np.maximum(d, 1e-3)
         max_dist = max(max_dist, float(d.max()))
         amp = damp / (4.0 * np.pi * d)
+        if air_absorption > 0.0:
+            amp = amp * np.exp(-0.5 * air_absorption * d)
         delay = d * fs / c  # in samples
         base = np.floor(delay).astype(np.int64)
         frac = delay - base
@@ -150,10 +330,46 @@ def shoebox_rir(
     for mi, h in enumerate(rirs):
         out[mi, : len(h)] = h
 
-    if method == "hybrid" and rt60 is not None and max_order > 3:
+    if hybrid_hist:
+        out = add_histogram_tail(out, room, src, mics, e_absorption,
+                                 ism_order, rt60, fs, rng, c,
+                                 air_absorption)
+    elif method == "hybrid-sabine" and rt60 is not None and max_order > 3:
         out = apply_diffuse_tail(out, max_dist, rt60, fs, rng, c,
                                  volume=float(np.prod(room)))
     return out
+
+
+def add_histogram_tail(
+    out: np.ndarray,
+    room: np.ndarray,
+    src: np.ndarray,
+    mics: np.ndarray,
+    e_absorption: float,
+    ism_order: int,
+    rt60: float,
+    fs: int,
+    rng: Optional[np.random.Generator],
+    c: float = SPEED_OF_SOUND,
+    air_absorption: float = DEFAULT_AIR_ABSORPTION,
+) -> np.ndarray:
+    """Overlay the exact-histogram late field onto the truncated ISM.
+
+    Tail length: 1.25 * rt60 (-75 dB under the Sabine envelope), capped
+    at 2 s — beyond that the tail is below any trainable signal level
+    for the data envelope (RT60 0.05-0.7 s, mcse settings)."""
+    t_max = min(max(1.25 * float(rt60), HIST_BIN_S), 2.0)
+    hist = ism_energy_histogram(
+        room, src, mics, e_absorption, ism_order, t_max,
+        air_absorption=air_absorption, c=c,
+    )
+    tail = histogram_tail(hist, fs, rng)
+    m, ism_len = out.shape
+    length = max(ism_len, tail.shape[1])
+    full = np.zeros((m, length), np.float32)
+    full[:, :ism_len] = out
+    full[:, : tail.shape[1]] += tail
+    return full
 
 
 def apply_diffuse_tail(

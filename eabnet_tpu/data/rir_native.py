@@ -50,6 +50,7 @@ def _load():
         ctypes.c_int,                     # max_order
         ctypes.c_int,                     # fs
         ctypes.c_double,                  # c
+        ctypes.c_double,                  # air absorption (energy, 1/m)
         ctypes.POINTER(ctypes.c_float),   # out (M * max_len)
         ctypes.c_longlong,                # max_len
     ]
@@ -72,12 +73,16 @@ def shoebox_rir_native(
     rt60: Optional[float] = None,
     rng: Optional[np.random.Generator] = None,
     c: float = 343.0,
+    air_absorption: Optional[float] = None,
 ) -> np.ndarray:
     """Drop-in replacement for :func:`eabnet_tpu.data.rir.shoebox_rir`.
 
-    The image-source part runs in C++; the hybrid-mode diffuse tail is
+    The image-source part runs in C++; the hybrid-mode late tail
+    (exact-histogram for 'hybrid', Polack noise for 'hybrid-sabine') is
     applied in numpy on top (identical semantics to the numpy path).
     """
+    from eabnet_tpu.data.rir import DEFAULT_AIR_ABSORPTION
+
     lib = _load()
     assert lib is not None, "native RIR library not built"
 
@@ -89,7 +94,15 @@ def shoebox_rir_native(
     mics_a = np.ascontiguousarray(mics)
     m = mics_a.shape[0]
 
-    ism_order = min(max_order, 3) if method == "hybrid" else max_order
+    hybrid_hist = method == "hybrid" and rt60 is not None
+    if hybrid_hist:
+        ism_order = 3  # reference: pra.ShoeBox(max_order=3, ...)
+    elif method in ("hybrid", "hybrid-sabine"):
+        ism_order = min(max_order, 3)
+    else:
+        ism_order = max_order
+    if air_absorption is None:
+        air_absorption = DEFAULT_AIR_ABSORPTION if hybrid_hist else 0.0
 
     # upper bound on rir length: farthest image + filter length
     diag = float(np.linalg.norm(room))
@@ -108,13 +121,21 @@ def shoebox_rir_native(
         int(ism_order),
         int(fs),
         float(c),
+        float(air_absorption),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_len,
     )
     assert used > 0, "native RIR engine failed"
     out = out[:, :used]
 
-    if method == "hybrid" and rt60 is not None and max_order > 3:
+    if hybrid_hist:
+        from eabnet_tpu.data.rir import add_histogram_tail
+
+        out = add_histogram_tail(
+            out, np.asarray(room_dim, np.float64), src_a, mics_a,
+            e_absorption, ism_order, rt60, fs, rng, c, air_absorption,
+        )
+    elif method == "hybrid-sabine" and rt60 is not None and max_order > 3:
         from eabnet_tpu.data.rir import apply_diffuse_tail
 
         # used = max(floor(delay)) + FDL//2 + 1 -> recover the farthest

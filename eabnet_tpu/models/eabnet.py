@@ -99,6 +99,7 @@ class LSTMBeamformer(nn.Module):
     M: int
     hid_node: int = 64
     impl: str = "scan"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +128,7 @@ class LSTMBeamformer(nn.Module):
 
             w = lstm_bf_pallas(params, x)
         else:
-            w = _scan_head(params, x)
+            w = _scan_head(params, x, remat=self.remat)
         w = w.reshape(b, f, t, self.M, 2)
         return jnp.transpose(w, (0, 2, 1, 3, 4))  # (B, T, F, M, 2)
 
@@ -145,7 +146,7 @@ class _DenseLikeNorm(nn.Module):
         }
 
 
-def _scan_head(params, x: jnp.ndarray) -> jnp.ndarray:
+def _scan_head(params, x: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
     """lax.scan implementation of the head on the shared param tree.
 
     Layer-1 input projections are hoisted into one large matmul; the scan
@@ -167,6 +168,13 @@ def _scan_head(params, x: jnp.ndarray) -> jnp.ndarray:
         h1, c1 = gate(xw_t + h1 @ p1["w_hh"], c1)
         h2, c2 = gate(h1 @ p2["w_ih"] + b2 + h2 @ p2["w_hh"], c2)
         return (h1, c1, h2, c2), h2
+
+    if remat:
+        # selective remat of the scan BODY: the backward pass recomputes
+        # each step's gate intermediates from the carried (h, c) instead
+        # of storing ~(B*F, 4H) activation blocks for every time step —
+        # the pinned source of the batch-24 HBM ceiling (ROOFLINE.md).
+        step = jax.checkpoint(step)
 
     zeros = jnp.zeros((l, h), x.dtype)
     # NOTE: keep unroll=1 — unrolling speeds the forward slightly but the
@@ -246,7 +254,9 @@ class EaBNet(nn.Module):
                 # the Pallas head carries a custom VJP (fused reverse-scan
                 # backward kernel) so it is usable for training too
                 bf_w = LSTMBeamformer(cfg.embed_dim, m, cfg.hid_node,
-                                      impl=cfg.bf_impl, name="bf_map")(x)
+                                      impl=cfg.bf_impl,
+                                      remat=cfg.bf_remat,
+                                      name="bf_map")(x)
             else:  # pointwise conv head (reference: EaBNet.py:79,111-113)
                 w = nn.Dense(2 * m, name="bf_map")(x)  # (B, T, F, 2M)
                 bf_w = w.reshape(b, t, f, m, 2)

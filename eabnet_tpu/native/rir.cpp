@@ -48,10 +48,12 @@ extern "C" {
 
 // Returns the used RIR length (<= max_len) or -1 on overflow.
 // out: row-major (n_mics, max_len) float32, zero-initialized by the caller.
+// air: energy air-absorption coefficient (1/m); amplitude is damped by
+// exp(-0.5 * air * dist). 0 disables (pure Allen & Berkley).
 long long shoebox_rir(const double* room, const double* src,
                       const double* mics, int n_mics, double e_absorption,
-                      int max_order, int fs, double c, float* out,
-                      long long max_len) {
+                      int max_order, int fs, double c, double air,
+                      float* out, long long max_len) {
   const double beta = std::sqrt(std::max(0.0, 1.0 - e_absorption));
 
   const AxisImages ax = axis_images(src[0], room[0], max_order);
@@ -85,7 +87,8 @@ long long shoebox_rir(const double* room, const double* src,
           const double dz = pz - mics[mi * 3 + 2];
           double dist = std::sqrt(dx * dx + dy * dy + dz * dz);
           if (dist < 1e-3) dist = 1e-3;
-          const double amp = damp / (4.0 * M_PI * dist);
+          double amp = damp / (4.0 * M_PI * dist);
+          if (air > 0.0) amp *= std::exp(-0.5 * air * dist);
           const double delay = dist * inv_c;
           const long long base = static_cast<long long>(std::floor(delay));
           const double frac = delay - static_cast<double>(base);

@@ -163,23 +163,35 @@ def _schroeder_rt60(h, fs):
 # regression anchors for THIS engine: they were generated from it once and
 # detect any unintended change to the data distribution.
 GOLDEN_HYBRID = {
+    # exact-histogram late field (geometric; with air absorption —
+    # the reference's hybrid semantics):
     # (room, rt60): (rt60_est, log10_total_energy, onset_sample)
-    (5.0, 4.0, 3.0, 0.3): (0.3313125, -2.08628077331896, 88),
-    (8.0, 6.0, 3.0, 0.5): (0.580125, -2.3655367327664996, 246),
-    (4.0, 3.5, 2.6, 0.15): (0.172875, -2.003878171517175, 44),
-    (9.5, 9.0, 3.0, 0.65): (0.7595625, -2.541371399681438, 401),
+    "hybrid": {
+        (5.0, 4.0, 3.0, 0.3): (0.268125, -2.062273580910229, 88),
+        (8.0, 6.0, 3.0, 0.5): (0.5563125, -2.2697965443718213, 246),
+        (4.0, 3.5, 2.6, 0.15): (0.1145625, -2.005977560412408, 44),
+        (9.5, 9.0, 3.0, 0.65): (0.833625, -2.4037227493857687, 401),
+    },
+    # Polack-envelope noise tail (isotropic Sabine decay, no air)
+    "hybrid-sabine": {
+        (5.0, 4.0, 3.0, 0.3): (0.3313125, -2.08628077331896, 88),
+        (8.0, 6.0, 3.0, 0.5): (0.580125, -2.3655367327664996, 246),
+        (4.0, 3.5, 2.6, 0.15): (0.172875, -2.003878171517175, 44),
+        (9.5, 9.0, 3.0, 0.65): (0.7595625, -2.541371399681438, 401),
+    },
 }
 
 
-def test_hybrid_golden_statistics():
-    for key, want in GOLDEN_HYBRID.items():
+@pytest.mark.parametrize("method", ["hybrid", "hybrid-sabine"])
+def test_hybrid_golden_statistics(method):
+    for key, want in GOLDEN_HYBRID[method].items():
         room = list(key[:3])
         rt60 = key[3]
         e_abs, order = inverse_sabine(rt60, room)
         rng = np.random.default_rng(42)
         h = shoebox_rir(room, [1.5, 1.2, 1.4],
                         np.array([[room[0] - 2.0, room[1] - 1.5, 1.6]]),
-                        e_abs, order, FS, method="hybrid", rt60=rt60,
+                        e_abs, order, FS, method=method, rt60=rt60,
                         rng=rng)[0].astype(np.float64)
         got = (
             _schroeder_rt60(h, FS),
@@ -189,10 +201,14 @@ def test_hybrid_golden_statistics():
         assert got[0] == pytest.approx(want[0], rel=1e-5), (key, got)
         assert got[1] == pytest.approx(want[1], rel=1e-5), (key, got)
         assert got[2] == want[2], (key, got)
-        # the physics: measured RT60 tracks the requested one about as
-        # tightly as the full-order image model itself does (~1.2x high —
-        # the known Sabine-vs-image-model gap)
-        assert 0.9 * rt60 < got[0] < 1.3 * rt60
+        # the physics: measured RT60 tracks the requested Sabine value.
+        # The Sabine tail tracks within the classic ~1.2x image-model
+        # gap; the exact geometric tail legitimately deviates further
+        # (Eyring absorption in small dead rooms -> faster decay, slow
+        # grazing modes in flat rooms -> slower late slope — pra's ray
+        # tracer exhibits the same behavior).
+        lo = 0.7 if method == "hybrid" else 0.9
+        assert lo * rt60 < got[0] < 1.3 * rt60
 
 
 def test_direct_path_rir_matches_analytic_kernel():

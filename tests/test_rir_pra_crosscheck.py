@@ -127,18 +127,21 @@ def test_edc_decay_rate_matches_pra():
         assert s_ours == pytest.approx(s_pra, rel=0.15), (m, s_ours, s_pra)
 
 
-def test_hybrid_tail_decay_matches_pra_ism():
-    """The hybrid mode's stochastic Polack tail (data/rir.py: ISM order 3
-    + Sabine-matched diffuse tail, replacing the reference's C++ ray
-    tracing, audio_util.py:56-63) must reproduce the same energy decay
+@pytest.mark.parametrize("method", ["hybrid", "hybrid-sabine"])
+def test_hybrid_tail_decay_matches_pra_ism(method):
+    """Both hybrid late fields (data/rir.py: 'hybrid' = ISM order 3 +
+    the exact image-source energy histogram — the closed form of the
+    reference's C++ ray tracing, audio_util.py:56-63; 'hybrid-sabine' =
+    the lightweight Polack tail) must reproduce the same energy decay
     pra's full image-source model produces for the scene — the
     late-reverberation distribution check VERDICT r2 missing #2 asked
-    for."""
+    for. (air_absorption=0 for apples-to-apples with pra's plain ISM.)"""
     e_abs, order = inverse_sabine(RT60, ROOM)
     theirs = _pra_rirs(order, e_abs)
     rng = np.random.default_rng(11)
     ours = shoebox_rir(ROOM, SRC, MICS, e_abs, order, FS,
-                       method="hybrid", rt60=RT60, rng=rng)
+                       method=method, rt60=RT60, rng=rng,
+                       air_absorption=0.0)
     for m in range(MICS.shape[0]):
         s_ours = _decay_rate_db_per_s(ours[m])
         s_pra = _decay_rate_db_per_s(theirs[m])
