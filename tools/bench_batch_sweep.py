@@ -35,6 +35,17 @@ def main():
                     help="override utterance length (smoke-testing)")
     ap.add_argument("--tiny", action="store_true",
                     help="reduced model (wiring smoke-tests)")
+    ap.add_argument("--bf-remat", action="store_true",
+                    help="selective remat of the LSTM-BF scan body "
+                    "(config.bf_remat) — recomputes the gate blocks in "
+                    "the backward instead of storing them; targets the "
+                    "batch-24 HBM ceiling ROOFLINE.md pins on this head")
+    ap.add_argument("--bf-impl", default="scan",
+                    choices=["scan", "pallas"],
+                    help="beamforming-head implementation; the pallas "
+                    "kernel's backward recomputes gates from (h, c) "
+                    "residuals — a smaller residual footprint than the "
+                    "scan path (kernels/lstm_bf.py)")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -61,23 +72,26 @@ def main():
         tkw = dict(batch_size=b, compute_dtype=args.compute_dtype)
         if args.wav_seconds is not None:
             tkw["wav_len"] = args.wav_seconds
-        mkw = {}
+        ekw = dict(bf_remat=args.bf_remat, bf_impl=args.bf_impl)
         if args.tiny:
-            mkw["model"] = ComposedConfig(
+            model = ComposedConfig(
                 eabnet=EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16,
-                                    p=2, q=1),
+                                    p=2, q=1, **ekw),
                 gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2)))
-        cfg = ExperimentConfig(train=TrainConfig(**tkw), **mkw)
-        model, state = create_train_state(cfg, jax.random.key(0))
-        step = make_train_step(cfg, model, donate=False)
-        n = int(cfg.train.wav_len * cfg.stft.sr)
-        m = cfg.model.eabnet.M
-        noisy = jnp.asarray(
-            (rng.standard_normal((b, m, n)) * 0.05).astype(np.float32))
-        target = jnp.asarray(
-            (rng.standard_normal((b, n)) * 0.05).astype(np.float32))
+        else:
+            model = ComposedConfig(eabnet=EaBNetConfig(M=9, **ekw),
+                                   gagnet=GaGNetConfig())
+        cfg = ExperimentConfig(train=TrainConfig(**tkw), model=model)
         t0 = time.time()
         try:
+            net, state = create_train_state(cfg, jax.random.key(0))
+            step = make_train_step(cfg, net, donate=False)
+            n = int(cfg.train.wav_len * cfg.stft.sr)
+            m = cfg.model.eabnet.M
+            noisy = jnp.asarray(
+                (rng.standard_normal((b, m, n)) * 0.05).astype(np.float32))
+            target = jnp.asarray(
+                (rng.standard_normal((b, n)) * 0.05).astype(np.float32))
             _, losses = step(state, noisy, target)
             fetch(losses["final"])  # force compile + first run
         except Exception as e:  # e.g. batch exceeds single-chip HBM
