@@ -235,6 +235,39 @@ def ism_energy_histogram(
     return hist
 
 
+def resolve_rir_method(
+    method: str,
+    max_order: int,
+    rt60: Optional[float],
+    air_absorption: Optional[float],
+) -> tuple:
+    """Shared method-dispatch policy for the numpy and native ISM paths
+    -> ``(ism_order, air_absorption, hybrid_hist)``.
+
+    One function so the two backends cannot desynchronize: 'hybrid'
+    (with an rt60) caps the ISM at order 3 and defaults air absorption
+    on (the reference's pra.ShoeBox(max_order=3, air_absorption=True,
+    ray_tracing=True), audio_util.py:55-63); 'hybrid-sabine' likewise
+    caps the ISM (its tail comes from the Polack envelope instead);
+    'ism' is the pure image-source model at the requested order.
+    Unknown names raise instead of silently degrading to pure ISM.
+    """
+    if method not in ("ism", "hybrid", "hybrid-sabine"):
+        raise ValueError(
+            f"unknown rir method {method!r}; expected 'ism', 'hybrid' "
+            "or 'hybrid-sabine'")
+    hybrid_hist = method == "hybrid" and rt60 is not None
+    if hybrid_hist:
+        ism_order = 3
+    elif method in ("hybrid", "hybrid-sabine"):
+        ism_order = min(max_order, 3)
+    else:
+        ism_order = max_order
+    if air_absorption is None:
+        air_absorption = DEFAULT_AIR_ABSORPTION if hybrid_hist else 0.0
+    return ism_order, air_absorption, hybrid_hist
+
+
 def histogram_tail(
     hist: np.ndarray,
     fs: int,
@@ -248,15 +281,33 @@ def histogram_tail(
     if rng is None:
         rng = np.random.default_rng(0)
     m, n_bins = hist.shape
-    spb = max(1, int(round(bin_s * fs)))  # samples per bin
-    length = n_bins * spb
+    true_spb = bin_s * fs
+    amp_b = np.sqrt(np.maximum(hist, 0.0))
+    if abs(true_spb - round(true_spb)) < 1e-9:
+        # integral samples per bin (16 kHz: exactly 64) — vectorized
+        spb = max(1, int(round(true_spb)))
+        length = n_bins * spb
+        g = rng.standard_normal((m, length))
+        # normalize each bin's noise to unit energy, then scale to E_bin
+        gb = g.reshape(m, n_bins, spb)
+        norm = np.sqrt(np.sum(gb**2, axis=2, keepdims=True))
+        norm = np.maximum(norm, 1e-12)
+        return (gb / norm * amp_b[:, :, None]).reshape(
+            m, length).astype(np.float32)
+    # non-integral (e.g. 44.1 kHz: 176.4): place every bin at its TRUE
+    # sample offset so the tail's timeline cannot drift vs the
+    # histogram's bin times (a fixed rounded width would compress the
+    # tail by the accumulated rounding over hundreds of bins)
+    edges = np.round(np.arange(n_bins + 1) * true_spb).astype(np.int64)
+    length = int(edges[-1])
     g = rng.standard_normal((m, length))
-    # normalize each bin's noise to unit energy, then scale to E_bin
-    gb = g.reshape(m, n_bins, spb)
-    norm = np.sqrt(np.sum(gb**2, axis=2, keepdims=True))
-    norm = np.maximum(norm, 1e-12)
-    amp = np.sqrt(np.maximum(hist, 0.0))[:, :, None]
-    return (gb / norm * amp).reshape(m, length).astype(np.float32)
+    out = np.empty((m, length), np.float32)
+    for b in range(n_bins):
+        seg = g[:, edges[b]:edges[b + 1]]
+        norm = np.maximum(
+            np.sqrt(np.sum(seg**2, axis=1, keepdims=True)), 1e-12)
+        out[:, edges[b]:edges[b + 1]] = seg / norm * amp_b[:, b:b + 1]
+    return out
 
 
 def shoebox_rir(
@@ -289,15 +340,8 @@ def shoebox_rir(
     if mics.shape[0] == 3 and mics.shape[1] != 3:
         mics = mics.T  # accept (3, M)
 
-    hybrid_hist = method == "hybrid" and rt60 is not None
-    if method == "hybrid-sabine" or (method == "hybrid" and not hybrid_hist):
-        ism_order = min(max_order, 3)
-    elif hybrid_hist:
-        ism_order = 3  # reference: pra.ShoeBox(max_order=3, ...)
-    else:
-        ism_order = max_order
-    if air_absorption is None:
-        air_absorption = DEFAULT_AIR_ABSORPTION if hybrid_hist else 0.0
+    ism_order, air_absorption, hybrid_hist = resolve_rir_method(
+        method, max_order, rt60, air_absorption)
     beta = math.sqrt(max(0.0, 1.0 - e_absorption))
     pos, n_refl = _image_sources(src, room, ism_order)
     damp = beta ** n_refl  # (K,)

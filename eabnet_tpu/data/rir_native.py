@@ -20,24 +20,44 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
 _lib = None
 
 
+_ABI_VERSION = 2  # must match rir_abi_version() in native/rir.cpp
+
+
+def _abi_ok(path: str) -> bool:
+    """A stale pre-built .so with an older C signature would load and run
+    'successfully' with misread arguments (the SysV calling convention
+    just ignores extra float args) — refuse anything whose exported ABI
+    version doesn't match, so it gets rebuilt instead."""
+    try:
+        lib = ctypes.CDLL(path)
+        ver = ctypes.CFUNCTYPE(ctypes.c_longlong)(
+            ("rir_abi_version", lib))()
+        return int(ver) == _ABI_VERSION
+    except (OSError, AttributeError):
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        # try a one-shot build (opt out with EABNET_TPU_NO_NATIVE_BUILD=1)
+    if not os.path.exists(_LIB_PATH) or not _abi_ok(_LIB_PATH):
+        # try a one-shot (re)build (opt out with
+        # EABNET_TPU_NO_NATIVE_BUILD=1)
         if os.environ.get("EABNET_TPU_NO_NATIVE_BUILD"):
             return None
         import subprocess
 
         try:
+            if os.path.exists(_LIB_PATH):
+                os.remove(_LIB_PATH)  # force make to relink
             subprocess.run(
                 ["make", "-C", os.path.dirname(_LIB_PATH)],
                 capture_output=True, timeout=120, check=True,
             )
         except Exception:
             return None
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or not _abi_ok(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.shoebox_rir.restype = ctypes.c_longlong
@@ -81,7 +101,7 @@ def shoebox_rir_native(
     (exact-histogram for 'hybrid', Polack noise for 'hybrid-sabine') is
     applied in numpy on top (identical semantics to the numpy path).
     """
-    from eabnet_tpu.data.rir import DEFAULT_AIR_ABSORPTION
+    from eabnet_tpu.data.rir import resolve_rir_method
 
     lib = _load()
     assert lib is not None, "native RIR library not built"
@@ -94,15 +114,8 @@ def shoebox_rir_native(
     mics_a = np.ascontiguousarray(mics)
     m = mics_a.shape[0]
 
-    hybrid_hist = method == "hybrid" and rt60 is not None
-    if hybrid_hist:
-        ism_order = 3  # reference: pra.ShoeBox(max_order=3, ...)
-    elif method in ("hybrid", "hybrid-sabine"):
-        ism_order = min(max_order, 3)
-    else:
-        ism_order = max_order
-    if air_absorption is None:
-        air_absorption = DEFAULT_AIR_ABSORPTION if hybrid_hist else 0.0
+    ism_order, air_absorption, hybrid_hist = resolve_rir_method(
+        method, max_order, rt60, air_absorption)
 
     # upper bound on rir length: farthest image + filter length
     diag = float(np.linalg.norm(room))

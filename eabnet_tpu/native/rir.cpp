@@ -46,6 +46,12 @@ AxisImages axis_images(double src, double room, int order) {
 
 extern "C" {
 
+// Bump on ANY signature/semantics change of the exported functions: the
+// ctypes loader refuses (and rebuilds) stale .so files by checking this,
+// since a C ABI mismatch (e.g. the `air` argument added in v2) would
+// otherwise run "successfully" with garbage-or-ignored arguments.
+long long rir_abi_version() { return 2; }
+
 // Returns the used RIR length (<= max_len) or -1 on overflow.
 // out: row-major (n_mics, max_len) float32, zero-initialized by the caller.
 // air: energy air-absorption coefficient (1/m); amplitude is damped by

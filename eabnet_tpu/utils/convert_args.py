@@ -30,7 +30,14 @@ def _get(ns: Any, name: str, default):
 
 
 def config_from_reference_args(ns: Any) -> ExperimentConfig:
-    """argparse-namespace-like object -> ExperimentConfig."""
+    """argparse-namespace-like object -> ExperimentConfig.
+
+    A reference ``norm_type='cLN'`` maps to our ``'cLN-ref'``: that is
+    the exact math of the reference's cumulative norm (EaBNet.py:
+    717-726), so an ingested checkpoint reproduces reference activations
+    bit-for-bit; our ``'cLN'`` name is reserved for the variant with the
+    gradient-stabilizing virtual-frame prior (nn/norms.py)."""
+    _our_norm = lambda n: "cLN-ref" if n == "cLN" else n  # noqa: E731
     eab = EaBNetConfig(
         k1=tuple(_get(ns, "k1", (2, 3))),
         k2=tuple(_get(ns, "k2", (1, 3))),
@@ -47,7 +54,7 @@ def config_from_reference_args(ns: Any) -> ExperimentConfig:
         bf_type=_get(ns, "bf_type", "lstm"),
         topo_type=_get(ns, "topo_type", "mimo"),
         intra_connect=_get(ns, "intra_connect", "cat"),
-        norm_type=_get(ns, "norm_type", "IN"),
+        norm_type=_our_norm(_get(ns, "norm_type", "IN")),
     )
     gag = GaGNetConfig(
         cin=2,
@@ -66,7 +73,7 @@ def config_from_reference_args(ns: Any) -> ExperimentConfig:
         is_squeezed=bool(_get(ns, "gagnet_is_squeezed", False)),
         acti_type=_get(ns, "gagnet_acti_type", "sigmoid"),
         intra_connect=_get(ns, "gagnet_intra_connect", "cat"),
-        norm_type=_get(ns, "gagnet_norm_type", "IN"),
+        norm_type=_our_norm(_get(ns, "gagnet_norm_type", "IN")),
     )
     stft = StftConfig(
         sr=_get(ns, "sr", 16000),
@@ -136,12 +143,18 @@ def reference_args_from_config(cfg: ComposedConfig) -> Any:
     import types
 
     e, g = cfg.eabnet, cfg.gagnet
+    # the reference has one cumulative-norm name; both our variants map
+    # to it ("cLN-ref" is its exact intended math, "cLN" adds the
+    # virtual-frame prior — load_torch_checkpoint warns about the
+    # latter). Constructing a reference net with it requires the
+    # NormSwitch repair in utils/reference_compat.py.
+    _ref_norm = lambda n: "cLN" if n in ("cLN", "cLN-ref") else n  # noqa: E731
     return types.SimpleNamespace(
         k1=tuple(e.k1), k2=tuple(e.k2), c=e.c, M=e.M,
         embed_dim=e.embed_dim, kd1=e.kd1, cd1=e.cd1, d_feat=e.d_feat,
         p=e.p, q=e.q, is_causal=e.is_causal, is_u2=e.is_u2,
         bf_type=e.bf_type, topo_type=e.topo_type,
-        intra_connect=e.intra_connect, norm_type=e.norm_type,
+        intra_connect=e.intra_connect, norm_type=_ref_norm(e.norm_type),
         ref_mic=cfg.ref_mic, freeze_eabnet=cfg.freeze_eabnet,
         gagnet_k1=tuple(g.k1), gagnet_k2=tuple(g.k2), gagnet_c=g.c,
         gagnet_kd1=g.kd1, gagnet_cd1=g.cd1, gagnet_d_feat=g.d_feat,
@@ -150,5 +163,5 @@ def reference_args_from_config(cfg: ComposedConfig) -> Any:
         gagnet_is_causal=g.is_causal, gagnet_is_squeezed=g.is_squeezed,
         gagnet_acti_type=g.acti_type,
         gagnet_intra_connect=g.intra_connect,
-        gagnet_norm_type=g.norm_type,
+        gagnet_norm_type=_ref_norm(g.norm_type),
     )

@@ -94,8 +94,12 @@ class _Ref:
 # ------------------------------------------------------- block converters
 
 def _norm(ref: _Ref, key: str) -> Dict:
-    return {"norm": {"scale": _np(ref(f"{key}.weight")),
-                     "bias": _np(ref(f"{key}.bias"))}}
+    # BN/IN affine params are `<key>.weight`; the reference's cumulative
+    # norms name theirs `<key>.gain` with broadcast shape (1,C,1[,1])
+    # (reference: EaBNet.py:707-709, 743-745) — flatten both to (C,)
+    attr = "weight" if ref.has(f"{key}.weight") else "gain"
+    return {"norm": {"scale": _np(ref(f"{key}.{attr}")).reshape(-1),
+                     "bias": _np(ref(f"{key}.bias")).reshape(-1)}}
 
 
 def _gate_conv(ref: _Ref, key: str, k_t: int, transposed: bool,
@@ -402,7 +406,11 @@ def _warn_cln_interop(cfg) -> None:
             "see nn/norms.py). Converted checkpoints will NOT be "
             "numerically identical across the torch<->flax boundary at "
             "early frames (divergence decays ~1/t). For exact interop use "
-            "norm_type='cLN-ref'.",
+            "norm_type='cLN-ref'. Either way the reference stack needs "
+            "the NormSwitch repair in utils/reference_compat.py to run "
+            "cumulative norms at all (its cLN wiring crashes as written, "
+            "reference EaBNet.py:689-691, and its GaGNet has no cLN "
+            "branch).",
             stacklevel=3,
         )
 

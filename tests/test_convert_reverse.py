@@ -104,3 +104,88 @@ def test_flax_init_exported_to_torch_forward_parity(ref_mod):
         np.transpose(np.asarray(ours["esti"]), (0, 3, 1, 2)),
         theirs["esti_stft"].numpy(), atol=2e-4,
     )
+
+
+def cln_cfg(norm_type):
+    return ComposedConfig(
+        eabnet=EaBNetConfig(M=3, c=16, embed_dim=16, cd1=16, p=2, q=2,
+                            norm_type=norm_type),
+        gagnet=GaGNetConfig(c=16, cd1=16, p=1, q=1, dilas=(1, 2),
+                            norm_type=norm_type),
+    )
+
+
+def test_cln_ref_export_strict_load_and_forward_parity(ref_mod):
+    """The full cumulative-norm interop loop: a flax 'cLN-ref' composed
+    model exports to a .pth that the reference stack — with its
+    NormSwitch wiring repaired in-memory (utils/reference_compat.py; the
+    reference's own cLN branch crashes at construction, EaBNet.py:
+    689-691, and its GaGNet has no cLN branch) — loads strict=True and
+    reproduces at float32 round-off. Also pins the `gain`-named
+    (1,C,1[,1]) affine mapping in convert_torch._norm."""
+    import warnings
+
+    from eabnet_tpu.utils.reference_compat import patch_reference_cln
+
+    cfg = cln_cfg("cLN-ref")
+    model = EaBNetWithPostNet(cfg)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 21, 161, 3, 2)).astype(np.float32) * 0.3
+    variables = model.init(jax.random.key(6), jnp.asarray(x))
+    ours = model.apply(variables, jnp.asarray(x))
+
+    with patch_reference_cln():
+        net = ref_mod.make_eabnet_with_postnet(
+            reference_args_from_config(cfg))
+    # perturb the norm affines away from init so the mapping is exercised
+    import jax.tree_util as jtu
+
+    def jitter(path, v):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "norm" in name:
+            return v + 0.05 * np.arange(v.size, dtype=v.dtype).reshape(
+                v.shape) / max(v.size, 1)
+        return v
+
+    params = jtu.tree_map_with_path(jitter, variables["params"])
+    ours = model.apply({"params": params}, jnp.asarray(x))
+    sd, unmapped = export_torch_state_dict(params, cfg, net.state_dict())
+    assert unmapped == []
+    net.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+        strict=True,
+    )
+    net.eval()
+    with torch.no_grad():
+        theirs = net(torch.from_numpy(x))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours["esti0"]), (0, 3, 1, 2)),
+        theirs["esti0_stft"].numpy(), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours["esti"]), (0, 3, 1, 2)),
+        theirs["esti_stft"].numpy(), atol=2e-4,
+    )
+
+    # and the ingestion direction: the reference-trained (hypothetical,
+    # post-repair) cLN state_dict round-trips through the forward
+    # converter bit-exactly
+    from eabnet_tpu.utils.convert_torch import convert_composed
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        back = convert_composed(net.state_dict(), cfg)
+    flat_a = dict(_flatten(params))
+    flat_b = dict(_flatten(back))
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), err_msg=str(k))
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree

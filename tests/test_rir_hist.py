@@ -27,11 +27,13 @@ import numpy as np
 import pytest
 
 from eabnet_tpu.data.rir import (
+    DEFAULT_AIR_ABSORPTION,
     HIST_BIN_S,
     _image_sources,
     histogram_tail,
     inverse_sabine,
     ism_energy_histogram,
+    resolve_rir_method,
     shoebox_rir,
 )
 
@@ -89,6 +91,52 @@ def test_continuum_region_unbiased():
     ratio = hs[sel] / bs[sel]
     assert ratio.min() > 0.5 and ratio.max() < 2.0, (
         ratio.min(), ratio.max())
+
+
+def test_resolve_rir_method_policy():
+    # the one dispatch policy both backends share
+    assert resolve_rir_method("hybrid", 17, 0.3, None) == (
+        3, DEFAULT_AIR_ABSORPTION, True)
+    # hybrid without an rt60 degrades to capped ISM, no tail, dry air
+    assert resolve_rir_method("hybrid", 17, None, None) == (3, 0.0, False)
+    assert resolve_rir_method("hybrid", 2, None, None) == (2, 0.0, False)
+    assert resolve_rir_method("hybrid-sabine", 17, 0.3, None) == (
+        3, 0.0, False)
+    assert resolve_rir_method("ism", 17, 0.3, None) == (17, 0.0, False)
+    # explicit air absorption always wins
+    assert resolve_rir_method("hybrid", 17, 0.3, 0.011)[1] == 0.011
+    with pytest.raises(ValueError, match="unknown rir method"):
+        resolve_rir_method("raytrace", 17, 0.3, None)
+
+
+def test_histogram_tail_non_integral_bins():
+    """44.1 kHz: 176.4 samples/bin. Bins must land at their TRUE sample
+    offsets (no cumulative rounding drift) and still carry exactly the
+    histogram's energy."""
+    fs = 44100
+    n_bins = 50
+    rng = np.random.default_rng(3)
+    hist = np.abs(rng.normal(size=(2, n_bins))) * 1e-4
+    tail = histogram_tail(hist, fs, np.random.default_rng(4))
+    true_spb = HIST_BIN_S * fs
+    assert tail.shape[1] == int(round(n_bins * true_spb))  # no drift
+    edges = np.round(np.arange(n_bins + 1) * true_spb).astype(int)
+    for b in range(n_bins):
+        got = (tail[:, edges[b]:edges[b + 1]] ** 2).sum(axis=1)
+        np.testing.assert_allclose(got, hist[:, b], rtol=1e-5)
+
+
+def test_native_abi_gate():
+    pytest.importorskip("eabnet_tpu.data.rir_native")
+    from eabnet_tpu.data import rir_native
+
+    if not rir_native.native_available():
+        pytest.skip("native RIR engine not built")
+    # the loaded library must export exactly the ABI the bindings expect
+    assert rir_native._abi_ok(rir_native._LIB_PATH)
+    # and anything without the export is refused (never half-loaded)
+    assert not rir_native._abi_ok("/usr/lib/x86_64-linux-gnu/libc.so.6")
+    assert not rir_native._abi_ok("/nonexistent/librir.so")
 
 
 def test_histogram_tail_energy_exact():

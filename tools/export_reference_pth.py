@@ -61,11 +61,22 @@ def main(argv=None):
         sys.path.insert(0, args.reference_root)
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    import contextlib
+
     import EaBNet as ref_mod
 
-    template = ref_mod.make_eabnet_with_postnet(
-        reference_args_from_config(cfg.model)
-    ).state_dict()
+    from eabnet_tpu.utils.reference_compat import (
+        _needs_cln_patch, patch_reference_cln,
+    )
+
+    # cumulative-norm configs need the reference's NormSwitch repaired
+    # before the template net can even be constructed
+    shim = (patch_reference_cln() if _needs_cln_patch(cfg.model)
+            else contextlib.nullcontext())
+    with shim:
+        template = ref_mod.make_eabnet_with_postnet(
+            reference_args_from_config(cfg.model)
+        ).state_dict()
     sd, unmapped = export_torch_state_dict(
         state.params, cfg.model, template
     )

@@ -126,6 +126,16 @@ def _install_stub_modules():
 
     subbed = []
     for name, mod in stubs.items():
+        if name in ("pesq", "pystoi"):
+            # ALWAYS substitute the metric backends, even where the real
+            # C packages are importable: the agreement columns compare
+            # the two STACKS, so both must score with one implementation
+            # (our harness is pinned to first_party above — a real pesq
+            # on the reference side would fold P.862-conformance deltas
+            # into the stack-parity numbers).
+            sys.modules[name] = mod
+            subbed.append(name)
+            continue
         if name not in sys.modules:
             try:
                 __import__(name)
@@ -315,8 +325,9 @@ def _summarize(rows, keys):
     out = {}
     for k in keys:
         vals = np.asarray([r[k] for r in rows], float)
-        out[k] = (float(vals.mean()),
-                  float(1.96 * vals.std(ddof=1) / np.sqrt(len(vals))))
+        ci = (0.0 if len(vals) < 2 else
+              float(1.96 * vals.std(ddof=1) / np.sqrt(len(vals))))
+        out[k] = (float(vals.mean()), ci)
     return out
 
 
@@ -345,15 +356,31 @@ def main(argv=None):
     from eabnet_tpu.train.step import create_train_state
 
     cfg = ExperimentConfig.load(os.path.join(args.exp_root, "config.json"))
-    ckpt = latest_checkpoint(args.exp_root)
+    # same resolution order as export_reference_pth: training experiment
+    # dirs keep checkpoints under <exp_root>/ckpt/, release artifacts at
+    # the top level
+    ckpt = (latest_checkpoint(os.path.join(args.exp_root, "ckpt"))
+            or latest_checkpoint(args.exp_root))
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint under {args.exp_root}")
     print(f"[refeval] artifact {ckpt}", flush=True)
 
     import test as ref_test  # /root/reference/test.py
 
     keys = ("pesq", "nb_pesq", "stoi", "estoi", "si_sdr", "si_sir",
             "si_sar")
+    import contextlib
+
+    from eabnet_tpu.utils.reference_compat import (
+        _needs_cln_patch, patch_reference_cln,
+    )
+
+    # cumulative-norm artifacts need the reference's NormSwitch repaired
+    # (utils/reference_compat.py) for its nets to construct at all
+    shim = (patch_reference_cln() if _needs_cln_patch(cfg.model)
+            else contextlib.nullcontext())
     results = {}
-    with tempfile.TemporaryDirectory() as td:
+    with tempfile.TemporaryDirectory() as td, shim:
         composed_pth, bare_pth = _export_pths(
             args.exp_root, args.reference_root, td)
         ns = _make_args(cfg, args.val_set)
