@@ -95,6 +95,14 @@ class EaBNetConfig:
     # activation blocks that set the single-chip batch ceiling
     # (ROOFLINE.md: batch-24 OOM pinned on this head)
     bf_remat: bool = False
+    # coarse selective remat of the whole U²/UNet encoder + decoder:
+    # their INTERNAL full-resolution conv activations (the nested
+    # mini-UNet enco/deco intermediates) are recomputed in the backward
+    # instead of stored; the skip tensors (kept alive for the decoder
+    # anyway) and the bottleneck remain stored. The next HBM binder
+    # after bf_remat (ROOFLINE.md: batch-32 OOM pinned on encoder
+    # activations)
+    enc_remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

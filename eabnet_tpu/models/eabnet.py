@@ -220,16 +220,28 @@ class EaBNet(nn.Module):
         # the first conv's input channels accordingly.
         x = inpt.reshape(b, t, f, m * 2)
 
+        # cfg.enc_remat wraps the whole encoder/decoder in jax.checkpoint:
+        # outputs (the skips the decoder needs anyway + the bottleneck)
+        # stay stored, every internal activation is recomputed in the
+        # backward. Param trees are identical either way (lifted
+        # transform), so the flag is checkpoint-compatible.
+        def _maybe_remat(cls, train_argnum):
+            if not cfg.enc_remat:
+                return cls
+            return nn.remat(cls, static_argnums=(train_argnum,))
+
         if cfg.is_u2:
-            x, skips = U2NetEncoder(cfg.c, cfg.k1, cfg.k2, cfg.intra_connect,
-                                    cfg.norm_type, name="en")(x, train)
-            de = U2NetDecoder(cfg.embed_dim, cfg.c, cfg.k1, cfg.k2,
-                              cfg.intra_connect, cfg.norm_type, name="de")
+            x, skips = _maybe_remat(U2NetEncoder, 2)(
+                cfg.c, cfg.k1, cfg.k2, cfg.intra_connect,
+                cfg.norm_type, name="en")(x, train)
+            de = _maybe_remat(U2NetDecoder, 3)(
+                cfg.embed_dim, cfg.c, cfg.k1, cfg.k2,
+                cfg.intra_connect, cfg.norm_type, name="de")
         else:
-            x, skips = UNetEncoder(cfg.c, cfg.k1, cfg.norm_type,
-                                   name="en")(x, train)
-            de = UNetDecoder(cfg.embed_dim, cfg.c, cfg.k1, cfg.norm_type,
-                             name="de")
+            x, skips = _maybe_remat(UNetEncoder, 2)(
+                cfg.c, cfg.k1, cfg.norm_type, name="en")(x, train)
+            de = _maybe_remat(UNetDecoder, 3)(
+                cfg.embed_dim, cfg.c, cfg.k1, cfg.norm_type, name="de")
 
         # bottleneck: (B, T, F', C) -> (B, T, F'*C) == d_feat
         f_bottle, c_bottle = x.shape[2], x.shape[3]

@@ -104,3 +104,42 @@ def test_causality_of_eabnet():
     y2 = np.asarray(model.apply(params, jnp.asarray(x2)))
     np.testing.assert_allclose(y1[:, :20], y2[:, :20], atol=1e-5)
     assert np.abs(y1[:, 20:] - y2[:, 20:]).max() > 1e-4
+
+
+@pytest.mark.parametrize("flag", ["bf_remat", "enc_remat", "both"])
+@pytest.mark.parametrize("is_u2", [True, False])
+def test_remat_flags_are_checkpoint_compatible_and_equivalent(
+        small_input, flag, is_u2):
+    """The selective-remat memory flags (bf_remat: LSTM-BF scan body,
+    enc_remat: whole encoder/decoder) must not change model semantics:
+    identical param tree (a checkpoint trained either way loads in the
+    other), same forward up to float reassociation (successive IN stages
+    amplify fusion-order round-off), finite gradients."""
+    kw = dict(M=M, c=16, embed_dim=16, cd1=16, p=2, q=1, is_u2=is_u2)
+    base = EaBNet(EaBNetConfig(**kw))
+    on = EaBNet(EaBNetConfig(
+        **kw,
+        bf_remat=flag in ("bf_remat", "both"),
+        enc_remat=flag in ("enc_remat", "both"),
+    ))
+    v = base.init(jax.random.key(0), small_input)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                on.init(jax.random.key(0), small_input)))
+    y0 = base.apply(v, small_input)
+    y1 = on.apply(v, small_input)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=5e-3, rtol=1e-3)
+
+    def loss(p, mdl):
+        return jnp.sum(jnp.square(mdl.apply(p, small_input, train=True)))
+
+    g0 = jax.grad(loss)(v, base)
+    g1 = jax.grad(loss)(v, on)
+    flat0 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(g0)])
+    flat1 = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(g1)])
+    assert bool(jnp.isfinite(flat1).all())
+    # gradients agree in aggregate (cosine), not bit-for-bit
+    cos = jnp.vdot(flat0, flat1) / (
+        jnp.linalg.norm(flat0) * jnp.linalg.norm(flat1) + 1e-30)
+    assert float(cos) > 0.999, float(cos)

@@ -40,6 +40,11 @@ def main():
                     "(config.bf_remat) — recomputes the gate blocks in "
                     "the backward instead of storing them; targets the "
                     "batch-24 HBM ceiling ROOFLINE.md pins on this head")
+    ap.add_argument("--enc-remat", action="store_true",
+                    help="coarse remat of the whole U²Net encoder + "
+                    "decoder (config.enc_remat) — recomputes their "
+                    "internal full-resolution conv activations in the "
+                    "backward; the binder past bf_remat (batch-32 OOM)")
     ap.add_argument("--bf-impl", default="scan",
                     choices=["scan", "pallas"],
                     help="beamforming-head implementation; the pallas "
@@ -72,7 +77,8 @@ def main():
         tkw = dict(batch_size=b, compute_dtype=args.compute_dtype)
         if args.wav_seconds is not None:
             tkw["wav_len"] = args.wav_seconds
-        ekw = dict(bf_remat=args.bf_remat, bf_impl=args.bf_impl)
+        ekw = dict(bf_remat=args.bf_remat, enc_remat=args.enc_remat,
+                   bf_impl=args.bf_impl)
         if args.tiny:
             model = ComposedConfig(
                 eabnet=EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16,
