@@ -22,6 +22,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=200)
     parser.add_argument("--norm", default="cLN")
+    parser.add_argument("--exp-root", default=None,
+                        help="load config + trained weights from a "
+                        "release/experiment dir (the latency quote for "
+                        "the model actually deployed) instead of the "
+                        "default-config random-init model")
     args = parser.parse_args()
 
     import jax
@@ -34,22 +39,33 @@ def main():
     from eabnet_tpu.config import ComposedConfig, EaBNetConfig, GaGNetConfig
     from eabnet_tpu.streaming import StreamingComposed
 
-    cfg = ComposedConfig(
-        eabnet=EaBNetConfig(norm_type=args.norm),
-        gagnet=GaGNetConfig(norm_type=args.norm if args.norm != "IN"
-                            else "IN"),
-    )
-    t, f, m = args.frames, 161, cfg.eabnet.M
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        (rng.standard_normal((1, t, f, m, 2)) * 0.3).astype(np.float32)
-    )
+    if args.exp_root:
+        from eabnet_tpu.inference import load_enhancer
 
-    # init params via the offline model (shared tree)
-    from eabnet_tpu.models import EaBNetWithPostNet
+        enh = load_enhancer(args.exp_root)
+        cfg, params = enh.cfg.model, enh.params
+        t, f, m = args.frames, enh.cfg.stft.freq_bins, cfg.eabnet.M
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(
+            (rng.standard_normal((1, t, f, m, 2)) * 0.3).astype(np.float32)
+        )
+    else:
+        cfg = ComposedConfig(
+            eabnet=EaBNetConfig(norm_type=args.norm),
+            gagnet=GaGNetConfig(norm_type=args.norm if args.norm != "IN"
+                                else "IN"),
+        )
+        t, f, m = args.frames, 161, cfg.eabnet.M
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(
+            (rng.standard_normal((1, t, f, m, 2)) * 0.3).astype(np.float32)
+        )
 
-    model = EaBNetWithPostNet(cfg)
-    params = jax.jit(model.init)(jax.random.key(0), frames)["params"]
+        # init params via the offline model (shared tree)
+        from eabnet_tpu.models import EaBNetWithPostNet
+
+        model = EaBNetWithPostNet(cfg)
+        params = jax.jit(model.init)(jax.random.key(0), frames)["params"]
 
     s = StreamingComposed(cfg, params)
     run = jax.jit(s.run)
