@@ -146,6 +146,9 @@ class GaGNetConfig:
     fused_stages: bool = False
     # squeezed-TCN stack implementation (see EaBNetConfig.tcn_impl)
     tcn_impl: str = "xla"        # "xla" | "pallas"
+    # coarse selective remat of the encoder (see EaBNetConfig.enc_remat;
+    # GaGNet's encoder carries the same full-T×F c=64 conv activations)
+    enc_remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "k1", _astuple(self.k1))

@@ -124,11 +124,18 @@ class GaGNet(nn.Module):
                  train: bool = False) -> List[jnp.ndarray]:
         cfg = self.cfg
         x = jnp.concatenate([inpt, pre_x], axis=-1)  # (B, T, F, 2cin)
+        # cfg.enc_remat: recompute the encoder's internal activations in
+        # the backward (see EaBNetConfig.enc_remat; identical param tree)
+        def _maybe_remat(cls):
+            return nn.remat(cls, static_argnums=(2,)) if cfg.enc_remat \
+                else cls
+
         if cfg.is_u2:
-            feat, _ = U2NetEncoder(cfg.c, cfg.k1, cfg.k2, cfg.intra_connect,
-                                   cfg.norm_type, name="en")(x, train)
+            feat, _ = _maybe_remat(U2NetEncoder)(
+                cfg.c, cfg.k1, cfg.k2, cfg.intra_connect,
+                cfg.norm_type, name="en")(x, train)
         else:
-            feat, _ = UNetEncoder(
+            feat, _ = _maybe_remat(UNetEncoder)(
                 cfg.c, cfg.k1, cfg.norm_type,
                 norm_stages=(True,) * 5,  # GaGNet norms all 5 stages
                 name="en",

@@ -143,3 +143,29 @@ def test_remat_flags_are_checkpoint_compatible_and_equivalent(
     cos = jnp.vdot(flat0, flat1) / (
         jnp.linalg.norm(flat0) * jnp.linalg.norm(flat1) + 1e-30)
     assert float(cos) > 0.999, float(cos)
+
+
+def test_gagnet_enc_remat_equivalent(small_input):
+    """GaGNetConfig.enc_remat: same contract as the EaBNet flag —
+    identical param tree, equivalent forward, finite grads — on the
+    composed model (the config large-batch training actually uses)."""
+    kw = dict(
+        eabnet=EaBNetConfig(M=M, c=16, embed_dim=16, cd1=16, p=2, q=1),
+    )
+    base = EaBNetWithPostNet(ComposedConfig(
+        **kw, gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2))))
+    on = EaBNetWithPostNet(ComposedConfig(
+        **kw, gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2),
+                                  enc_remat=True)))
+    v = base.init(jax.random.key(0), small_input)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                on.init(jax.random.key(0), small_input)))
+    y0 = base.apply(v, small_input)["esti"]
+    y1 = on.apply(v, small_input)["esti"]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=5e-3, rtol=1e-3)
+    g = jax.grad(lambda p: jnp.sum(jnp.square(
+        on.apply(p, small_input, train=True)["esti"])))(v)
+    flat = jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(g)])
+    assert bool(jnp.isfinite(flat).all())

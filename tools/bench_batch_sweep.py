@@ -79,14 +79,16 @@ def main():
             tkw["wav_len"] = args.wav_seconds
         ekw = dict(bf_remat=args.bf_remat, enc_remat=args.enc_remat,
                    bf_impl=args.bf_impl)
+        gkw = dict(enc_remat=args.enc_remat)
         if args.tiny:
             model = ComposedConfig(
                 eabnet=EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16,
                                     p=2, q=1, **ekw),
-                gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2)))
+                gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2),
+                                    **gkw))
         else:
             model = ComposedConfig(eabnet=EaBNetConfig(M=9, **ekw),
-                                   gagnet=GaGNetConfig())
+                                   gagnet=GaGNetConfig(**gkw))
         cfg = ExperimentConfig(train=TrainConfig(**tkw), model=model)
         t0 = time.time()
         try:
