@@ -26,10 +26,11 @@ N_ITEMS = 6
 @pytest.mark.parametrize(
     "release,stage",
     [(RELEASE, "esti0"), (RELEASE, "esti"),
-     # streaming-capable cLN artifact: beamformer stage only (its
-     # post-filter is released mid-recipe, release/README.md)
-     (RELEASE_CLN, "esti0")],
-    ids=["in-esti0", "in-esti", "cln-esti0"],
+     # streaming-capable cLN artifact: both stages — the round-4
+     # 50k-step recipe finished with the composed esti beating its own
+     # esti0 (release/REPORT_CLN.md)
+     (RELEASE_CLN, "esti0"), (RELEASE_CLN, "esti")],
+    ids=["in-esti0", "in-esti", "cln-esti0", "cln-esti"],
 )
 def test_release_model_beats_noisy(release, stage):
     RELEASE = release
