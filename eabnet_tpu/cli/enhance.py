@@ -22,6 +22,11 @@ def main(argv=None):
                         choices=["esti", "esti0"],
                         help="esti = composed EaBNet+GaGNet (reference "
                         "enhance.py), esti0 = bare EaBNet beamformer")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 runs the model on the MXU in bf16 "
+                        "(front-end/iSTFT stay f32) — the high-throughput "
+                        "serving mode; quality delta vs f32 in ROOFLINE.md")
     parser.add_argument(
         "--mic-permutation", default=None,
         help="comma-separated capture-channel order, e.g. 7,0,1,2,3,4,5,6 "
@@ -40,7 +45,8 @@ def main(argv=None):
         perm = [int(x) for x in args.mic_permutation.split(",")]
 
     enhancer = load_enhancer(args.exp_root, args.ckpt,
-                             output=args.output_stage)
+                             output=args.output_stage,
+                             compute_dtype=args.compute_dtype)
 
     if os.path.isdir(args.input):
         os.makedirs(args.output, exist_ok=True)

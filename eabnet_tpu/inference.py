@@ -32,27 +32,44 @@ class Enhancer:
     """
 
     def __init__(self, cfg: ExperimentConfig, params,
-                 bucket_seconds: float = 1.0, output: str = "esti"):
+                 bucket_seconds: float = 1.0, output: str = "esti",
+                 compute_dtype: str = "float32"):
         """``output`` selects the enhancement stage: "esti" = composed
         EaBNet + GaGNet refinement (the reference enhance.py's
         esti_stft), "esti0" = the bare EaBNet beamformer (what the
         reference's eval battery scores — test.py:160-165 loads EaBNet
-        without the postnet)."""
+        without the postnet).
+
+        ``compute_dtype`` "bfloat16" runs the model's convs/matmuls on
+        the MXU in bf16 (same cast scheme as the mixed-precision train
+        step, train/step.py): stored f32 weights are cast at apply time,
+        the STFT front-end and iSTFT reconstruction stay f32. Serving
+        option — quality delta vs f32 measured in ROOFLINE.md."""
         if output not in ("esti", "esti0"):
             raise ValueError(f"output must be 'esti' or 'esti0', "
                              f"got {output!r}")
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be 'float32' or "
+                             f"'bfloat16', got {compute_dtype!r}")
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.params = params
         self.output = output
+        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                              else jnp.float32)
         self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
         self._jitted = jax.jit(self._enhance)
 
     def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
         noisy_stft, _ = prepare_data(noisy_wav, None, self.cfg.stft)
+        if self.compute_dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda p: p.astype(self.compute_dtype), params
+            )
+            noisy_stft = noisy_stft.astype(self.compute_dtype)
         out = self.model.apply({"params": params}, noisy_stft)
-        return stft_to_wav(to_reference_layout(out[self.output]),
-                           self.cfg.stft)
+        esti = out[self.output].astype(jnp.float32)
+        return stft_to_wav(to_reference_layout(esti), self.cfg.stft)
 
     def __call__(self, noisy: np.ndarray,
                  mic_permutation: Optional[list] = None) -> np.ndarray:
@@ -81,7 +98,8 @@ class Enhancer:
 
 def load_enhancer(exp_root: str,
                   checkpoint: Optional[str] = None,
-                  output: str = "esti") -> Enhancer:
+                  output: str = "esti",
+                  compute_dtype: str = "float32") -> Enhancer:
     """Build an Enhancer from an experiment dir — either this framework's
     (config.json + *.ckpt) or a REFERENCE experiment directory
     (args.pickle + *.pth, the format frozen by train_distributed.py:360-361)
@@ -106,4 +124,5 @@ def load_enhancer(exp_root: str,
     if ckpt is None:
         raise FileNotFoundError(f"no checkpoint found under {exp_root}")
     state, _ = load_checkpoint(ckpt, state, cfg)
-    return Enhancer(cfg, state.params, output=output)
+    return Enhancer(cfg, state.params, output=output,
+                    compute_dtype=compute_dtype)

@@ -29,6 +29,11 @@ def main():
                     help="chained executions per timing round")
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=6.0)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = the high-throughput serving mode "
+                    "(model on the MXU in bf16, front-end/iSTFT f32; "
+                    "same cast scheme as Enhancer(compute_dtype=...))")
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"],
                     help="cpu = force the CPU backend (smoke-testing)")
@@ -68,13 +73,21 @@ def main():
     dummy = jnp.zeros((1, t_frames, cfg.stft.freq_bins, m, 2), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy)
 
+    cdt = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+           else jnp.float32)
+
     def make_arm(b):
         @jax.jit
         def enhance(wav):
             noisy_stft, _ = prepare_data(wav, None, cfg.stft)
-            out = model.apply(params, noisy_stft)
+            p = params
+            if cdt != jnp.float32:
+                p = jax.tree.map(lambda x: x.astype(cdt), params)
+                noisy_stft = noisy_stft.astype(cdt)
+            out = model.apply(p, noisy_stft)
             enhanced = stft_to_wav(
-                to_reference_layout(out["esti"]), cfg.stft, length=n
+                to_reference_layout(out["esti"]).astype(jnp.float32),
+                cfg.stft, length=n,
             )
             return jnp.broadcast_to(enhanced[:, None, :], wav.shape)
 
