@@ -23,6 +23,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,32,64")
+    ap.add_argument("--arms", default=None,
+                    help="per-arm specs 'B[:flag+flag...]' overriding "
+                    "--batches and the global flags, e.g. "
+                    "'16,16:pallas,16:pallas+encremat,32:bfremat' — flags: "
+                    "bfremat, encremat, pallas. Mixed arms interleave in "
+                    "ONE process, the fair A/B under chip time-sharing "
+                    "(cross-process comparisons confound tenant load)")
     ap.add_argument("--k", type=int, default=8,
                     help="chained steps per timing round")
     ap.add_argument("--rounds", type=int, default=12)
@@ -52,7 +59,25 @@ def main():
                     "residuals — a smaller residual footprint than the "
                     "scan path (kernels/lstm_bf.py)")
     args = ap.parse_args()
-    batches = [int(b) for b in args.batches.split(",")]
+
+    def parse_arm(spec):
+        parts = spec.split(":")
+        b = int(parts[0])
+        flags = set(parts[1].split("+")) if len(parts) > 1 else set()
+        unknown = flags - {"bfremat", "encremat", "pallas"}
+        if unknown:
+            ap.error(f"unknown arm flags {sorted(unknown)} in {spec!r}")
+        return dict(batch=b, label=spec,
+                    bf_remat="bfremat" in flags,
+                    enc_remat="encremat" in flags,
+                    bf_impl="pallas" if "pallas" in flags else "scan")
+
+    if args.arms:
+        specs = [parse_arm(s) for s in args.arms.split(",")]
+    else:
+        specs = [dict(batch=int(b), label=b, bf_remat=args.bf_remat,
+                      enc_remat=args.enc_remat, bf_impl=args.bf_impl)
+                 for b in args.batches.split(",")]
 
     import jax
 
@@ -73,13 +98,14 @@ def main():
 
     arms = {}
     rng = np.random.default_rng(0)
-    for b in batches:
+    for spec in specs:
+        b, label = spec["batch"], spec["label"]
         tkw = dict(batch_size=b, compute_dtype=args.compute_dtype)
         if args.wav_seconds is not None:
             tkw["wav_len"] = args.wav_seconds
-        ekw = dict(bf_remat=args.bf_remat, enc_remat=args.enc_remat,
-                   bf_impl=args.bf_impl)
-        gkw = dict(enc_remat=args.enc_remat)
+        ekw = dict(bf_remat=spec["bf_remat"], enc_remat=spec["enc_remat"],
+                   bf_impl=spec["bf_impl"])
+        gkw = dict(enc_remat=spec["enc_remat"])
         if args.tiny:
             model = ComposedConfig(
                 eabnet=EaBNetConfig(M=9, c=16, embed_dim=16, cd1=16,
@@ -103,7 +129,7 @@ def main():
             _, losses = step(state, noisy, target)
             fetch(losses["final"])  # force compile + first run
         except Exception as e:  # e.g. batch exceeds single-chip HBM
-            print(f"[sweep] batch {b} SKIPPED (does not compile/fit on "
+            print(f"[sweep] arm {label} SKIPPED (does not compile/fit on "
                   f"one chip): {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
             continue
@@ -114,9 +140,9 @@ def main():
             flops = float(ca.get("flops", float("nan")))
         except Exception:
             pass
-        arms[b] = dict(cfg=cfg, step=step, state=state, noisy=noisy,
-                       target=target, flops=flops, times=[])
-        print(f"[sweep] batch {b} compiled in {time.time() - t0:.0f}s "
+        arms[label] = dict(cfg=cfg, step=step, state=state, noisy=noisy,
+                           target=target, flops=flops, times=[])
+        print(f"[sweep] arm {label} compiled in {time.time() - t0:.0f}s "
               f"({flops / 1e9:.0f} GFLOP/step)", flush=True)
 
     triv = jax.jit(lambda x: x + 1.0)
@@ -130,10 +156,11 @@ def main():
     print(f"[sweep] tunnel rtt {rtt * 1000:.1f} ms", flush=True)
 
     for r in range(args.rounds):
-        for b in batches:
-            if b not in arms:
+        for spec in specs:
+            label = spec["label"]
+            if label not in arms:
                 continue
-            a = arms[b]
+            a = arms[label]
             cur = a["state"]
             t0 = time.perf_counter()
             for _ in range(args.k):
@@ -143,19 +170,20 @@ def main():
         print(f"[sweep] round {r + 1}/{args.rounds}", flush=True)
 
     peak = 197e12 if args.compute_dtype == "bfloat16" else 98.5e12
-    print(f"\n| batch | ms/step | audio-sec/s/chip | MFU |")
+    print(f"\n| arm | ms/step | audio-sec/s/chip | MFU |")
     print("|---|---|---|---|")
-    for b in batches:
-        if b not in arms:
-            print(f"| {b} | does not fit on one chip | — | — |",
+    for spec in specs:
+        label, b = spec["label"], spec["batch"]
+        if label not in arms:
+            print(f"| {label} | does not fit on one chip | — | — |",
                   flush=True)
             continue
-        a = arms[b]
+        a = arms[label]
         per = (float(np.min(a["times"])) - rtt) / args.k
         wav_len = a["cfg"].train.wav_len
         audio = b * wav_len / per
         mfu = a["flops"] / per / peak * 100.0
-        print(f"| {b} | {per * 1000:.1f} | {audio:.0f} | {mfu:.1f}% |",
+        print(f"| {label} | {per * 1000:.1f} | {audio:.0f} | {mfu:.1f}% |",
               flush=True)
 
 

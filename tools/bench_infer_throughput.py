@@ -30,10 +30,13 @@ def main():
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--compute-dtype", default="float32",
-                    choices=["float32", "bfloat16"],
+                    choices=["float32", "bfloat16", "both"],
                     help="bfloat16 = the high-throughput serving mode "
                     "(model on the MXU in bf16, front-end/iSTFT f32; "
-                    "same cast scheme as Enhancer(compute_dtype=...))")
+                    "same cast scheme as Enhancer(compute_dtype=...)); "
+                    "'both' interleaves f32 and bf16 arms at every batch "
+                    "size in one process — the fair A/B under chip "
+                    "time-sharing")
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"],
                     help="cpu = force the CPU backend (smoke-testing)")
@@ -73,10 +76,12 @@ def main():
     dummy = jnp.zeros((1, t_frames, cfg.stft.freq_bins, m, 2), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy)
 
-    cdt = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
-           else jnp.float32)
+    dtypes = (["float32", "bfloat16"] if args.compute_dtype == "both"
+              else [args.compute_dtype])
 
-    def make_arm(b):
+    def make_arm(b, dtype_name):
+        cdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
         @jax.jit
         def enhance(wav):
             noisy_stft, _ = prepare_data(wav, None, cfg.stft)
@@ -100,13 +105,14 @@ def main():
     def fetch(x):
         return float(np.asarray(x[(0,) * x.ndim]))
 
+    keys = [(b, dt) for b in batches for dt in dtypes]
     arms = {}
-    for b in batches:
+    for b, dt in keys:
         t0 = time.time()
-        fn, x = make_arm(b)
+        fn, x = make_arm(b, dt)
         fetch(fn(x))  # compile + warmup
-        arms[b] = (fn, x)
-        print(f"# compiled batch {b} in {time.time() - t0:.0f}s",
+        arms[(b, dt)] = (fn, x)
+        print(f"# compiled batch {b} {dt} in {time.time() - t0:.0f}s",
               flush=True)
 
     trivial = jax.jit(lambda v: v + 1.0)
@@ -119,33 +125,35 @@ def main():
     rtt = float(np.median(rtts))
     print(f"# tunnel rtt {rtt * 1e3:.1f} ms", flush=True)
 
-    times = {b: [] for b in batches}
+    times = {k: [] for k in keys}
     for r in range(args.rounds):
-        for b in batches:  # interleave arms within each round
-            fn, x0 = arms[b]
+        for k in keys:  # interleave arms within each round
+            fn, x0 = arms[k]
             x = x0
             t0 = time.perf_counter()
             for _ in range(args.k):
                 x = fn(x)
             fetch(x)
-            times[b].append(time.perf_counter() - t0)
+            times[k].append(time.perf_counter() - t0)
 
-    print(f"{'batch':>5} {'ms/batch':>9} {'utt/s':>8} {'audio-s/s':>10} "
-          f"{'rtf/utt':>9}")
+    print(f"{'batch':>5} {'dtype':>9} {'ms/batch':>9} {'utt/s':>8} "
+          f"{'audio-s/s':>10} {'rtf/utt':>9}")
     results = {}
-    for b in batches:
-        per_batch = (min(times[b]) - rtt) / args.k  # min under time-sharing
+    for b, dt in keys:
+        per_batch = (min(times[(b, dt)]) - rtt) / args.k  # min under sharing
         utt_s = b / per_batch
-        results[b] = utt_s
-        print(f"{b:>5} {per_batch * 1e3:>9.1f} {utt_s:>8.1f} "
+        results[(b, dt)] = utt_s
+        print(f"{b:>5} {dt:>9} {per_batch * 1e3:>9.1f} {utt_s:>8.1f} "
               f"{utt_s * args.seconds:>10.0f} "
               f"{per_batch / b / args.seconds:>9.2e}")
     best = max(results, key=results.get)
     print(json.dumps({
         "metric": "enhance_utterances_per_sec_per_chip",
         "value": results[best],
-        "unit": f"utt/s (6s, 9-mic, batch {best})",
-        "per_batch": {str(b): round(v, 2) for b, v in results.items()},
+        "unit": f"utt/s ({args.seconds:g}s, {m}-mic, batch {best[0]}, "
+                f"{best[1]})",
+        "per_arm": {f"{b}/{dt}": round(v, 2)
+                    for (b, dt), v in results.items()},
     }))
 
 
