@@ -27,6 +27,14 @@ def main(argv=None):
                         help="bfloat16 runs the model on the MXU in bf16 "
                         "(front-end/iSTFT stay f32) — the high-throughput "
                         "serving mode; quality delta vs f32 in ROOFLINE.md")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard batches over ALL local devices "
+                        "(params replicate, batch shards over the "
+                        "'data' mesh axis) — multi-chip serving; the "
+                        "reference enhances one file on one GPU")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="files per device batch in directory mode "
+                        "(default: 1, or the mesh size with --mesh)")
     parser.add_argument(
         "--mic-permutation", default=None,
         help="comma-separated capture-channel order, e.g. 7,0,1,2,3,4,5,6 "
@@ -44,22 +52,38 @@ def main(argv=None):
     if args.mic_permutation:
         perm = [int(x) for x in args.mic_permutation.split(",")]
 
+    mesh = None
+    if args.mesh:
+        from eabnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
     enhancer = load_enhancer(args.exp_root, args.ckpt,
                              output=args.output_stage,
-                             compute_dtype=args.compute_dtype)
+                             compute_dtype=args.compute_dtype,
+                             mesh=mesh)
 
     if os.path.isdir(args.input):
         os.makedirs(args.output, exist_ok=True)
         names = sorted(
             n for n in os.listdir(args.input) if n.endswith(".wav")
         )
-        for name in names:
-            print(f"enhancing {name}")
-            enhancer.enhance_file(
-                os.path.join(args.input, name),
-                os.path.join(args.output, name),
-                mic_permutation=perm,
+        bs = args.batch_size or (mesh.shape["data"] if mesh else 1)
+        if bs > 1:
+            print(f"enhancing {len(names)} files in batches of {bs}")
+            enhancer.enhance_files(
+                [os.path.join(args.input, n) for n in names],
+                [os.path.join(args.output, n) for n in names],
+                mic_permutation=perm, batch_size=bs,
             )
+        else:
+            for name in names:
+                print(f"enhancing {name}")
+                enhancer.enhance_file(
+                    os.path.join(args.input, name),
+                    os.path.join(args.output, name),
+                    mic_permutation=perm,
+                )
     else:
         enhancer.enhance_file(args.input, args.output, mic_permutation=perm)
 

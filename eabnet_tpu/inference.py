@@ -33,7 +33,7 @@ class Enhancer:
 
     def __init__(self, cfg: ExperimentConfig, params,
                  bucket_seconds: float = 1.0, output: str = "esti",
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32", mesh=None):
         """``output`` selects the enhancement stage: "esti" = composed
         EaBNet + GaGNet refinement (the reference enhance.py's
         esti_stft), "esti0" = the bare EaBNet beamformer (what the
@@ -44,7 +44,15 @@ class Enhancer:
         the MXU in bf16 (same cast scheme as the mixed-precision train
         step, train/step.py): stored f32 weights are cast at apply time,
         the STFT front-end and iSTFT reconstruction stay f32. Serving
-        option — quality delta vs f32 measured in ROOFLINE.md."""
+        option — quality delta vs f32 measured in ROOFLINE.md.
+
+        ``mesh`` (a ``jax.sharding.Mesh`` with a 'data' axis, e.g. from
+        ``eabnet_tpu.parallel.make_mesh()``) turns on multi-chip batch
+        serving: params replicate, batches shard over 'data', and
+        ``enhance_batch``/``enhance_files`` pad the batch dimension up
+        to the mesh size. The reference has no multi-device inference at
+        all (enhance.py runs one file on one GPU); here the same jitted
+        pipeline scales over ICI with no code change."""
         if output not in ("esti", "esti0"):
             raise ValueError(f"output must be 'esti' or 'esti0', "
                              f"got {output!r}")
@@ -58,7 +66,19 @@ class Enhancer:
         self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
                               else jnp.float32)
         self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
-        self._jitted = jax.jit(self._enhance)
+        self.mesh = mesh
+        if mesh is not None:
+            from eabnet_tpu.parallel import data_sharding, replicate
+
+            self._batch_quantum = int(mesh.shape["data"])
+            self._jitted = jax.jit(
+                self._enhance,
+                in_shardings=(replicate(mesh), data_sharding(mesh)),
+                out_shardings=data_sharding(mesh),
+            )
+        else:
+            self._batch_quantum = 1
+            self._jitted = jax.jit(self._enhance)
 
     def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
         noisy_stft, _ = prepare_data(noisy_wav, None, self.cfg.stft)
@@ -76,14 +96,67 @@ class Enhancer:
         """``noisy`` (M, N) at the model sample rate. ``mic_permutation``
         reorders capture channels to the array-geometry order (the
         reference CLI's index_select, enhance.py:41-42)."""
+        return self.enhance_batch([noisy], mic_permutation)[0]
+
+    def enhance_batch(self, wavs,
+                      mic_permutation: Optional[list] = None):
+        """Enhance a list of (M, N_i) wavs in one device batch.
+
+        Items are right-padded to a common bucketed length, stacked, and
+        the batch dimension is padded up to a multiple of the mesh's
+        'data' axis (1 without a mesh) so the batch shards evenly over
+        the devices; outputs are trimmed back to each item's length.
+        Right-padding is exact for this model — it is causal in time
+        (causal convs + unidirectional LSTM) and zero frames contribute
+        nothing to the iSTFT overlap-add before an item's own end.
+        """
+        if not wavs:
+            return []
         if mic_permutation is not None:
-            noisy = noisy[np.asarray(mic_permutation)]
-        n = noisy.shape[-1]
-        padded = ((n + self.bucket - 1) // self.bucket) * self.bucket
-        if padded != n:
-            noisy = np.pad(noisy, ((0, 0), (0, padded - n)))
-        wav = self._jitted(self.params, jnp.asarray(noisy)[None])
-        return np.asarray(wav)[0][:n]
+            idx = np.asarray(mic_permutation)
+            wavs = [w[idx] for w in wavs]
+        mics = {w.shape[0] for w in wavs}
+        if len(mics) != 1:
+            raise ValueError(
+                f"all items in a batch must share a mic count, got {mics}"
+            )
+        lengths = [w.shape[-1] for w in wavs]
+        padded = ((max(lengths) + self.bucket - 1)
+                  // self.bucket) * self.bucket
+        batch = np.stack([
+            np.pad(w, ((0, 0), (0, padded - w.shape[-1]))) for w in wavs
+        ])
+        q = self._batch_quantum
+        b = len(wavs)
+        b_pad = ((b + q - 1) // q) * q
+        if b_pad != b:
+            batch = np.pad(batch, ((0, b_pad - b), (0, 0), (0, 0)))
+        out = np.asarray(self._jitted(self.params, jnp.asarray(batch)))
+        return [out[i][:n] for i, n in enumerate(lengths)]
+
+    def enhance_files(self, in_paths, out_paths,
+                      mic_permutation: Optional[list] = None,
+                      batch_size: Optional[int] = None) -> None:
+        """Enhance many files in device batches (chunks of
+        ``batch_size``, default = the mesh's 'data' axis size). Each
+        chunk pads to its own longest item, so sorting the inputs by
+        duration keeps the padding waste low."""
+        if len(in_paths) != len(out_paths):
+            raise ValueError("in_paths and out_paths must align")
+        bs = batch_size or max(1, self._batch_quantum)
+        for lo in range(0, len(in_paths), bs):
+            chunk_in = in_paths[lo:lo + bs]
+            wavs = []
+            for p in chunk_in:
+                sr, noisy = read_wav(p)
+                if noisy.ndim == 1:
+                    noisy = noisy[None]
+                if sr != self.cfg.stft.sr:
+                    noisy = resample(noisy, sr, self.cfg.stft.sr)
+                wavs.append(noisy)
+            outs = self.enhance_batch(wavs, mic_permutation)
+            for path, wav in zip(out_paths[lo:lo + bs], outs):
+                write_wav(path, self.cfg.stft.sr, wav, dtype="float")
 
     def enhance_file(self, in_path: str, out_path: str,
                      mic_permutation: Optional[list] = None) -> None:
@@ -99,7 +172,8 @@ class Enhancer:
 def load_enhancer(exp_root: str,
                   checkpoint: Optional[str] = None,
                   output: str = "esti",
-                  compute_dtype: str = "float32") -> Enhancer:
+                  compute_dtype: str = "float32",
+                  mesh=None) -> Enhancer:
     """Build an Enhancer from an experiment dir — either this framework's
     (config.json + *.ckpt) or a REFERENCE experiment directory
     (args.pickle + *.pth, the format frozen by train_distributed.py:360-361)
@@ -125,4 +199,4 @@ def load_enhancer(exp_root: str,
         raise FileNotFoundError(f"no checkpoint found under {exp_root}")
     state, _ = load_checkpoint(ckpt, state, cfg)
     return Enhancer(cfg, state.params, output=output,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, mesh=mesh)
