@@ -195,10 +195,23 @@ class DataConfig:
     # seconds (shape buckets bound jit recompiles); true lengths flow into
     # the losses' frame masks
     pad_to_seconds: float = 1.0
-    # online synthesis: host workers produce dry sources + RIRs only and the
-    # room propagation runs on-device as one jitted batched FFT program
-    # (data/device_mix.py) — ~5x fewer loader workers needed
-    device_mix: bool = False
+    # online synthesis device offload (reference default data mode:
+    # dataset/mcse_dataset.py:52-260, host DataLoader workers do all of
+    # geometry + RIR + propagation). Modes, in increasing offload order:
+    #   False    — full host synthesis (the reference's layout)
+    #   "loader" (or legacy True) — workers emit dry sources + dense RIRs;
+    #              the loader runs a standalone jitted FFT-propagation
+    #              program per batch (data/device_mix.py)
+    #   "parts"  — same worker output, but the propagation is FUSED INTO
+    #              the jitted train step (no extra device<->host round
+    #              trip; parts ship int16-quantized when transfer_int16)
+    #   "scene"  — workers emit SCENE PARAMETERS only (image-source
+    #              delays/amps, late-field histogram envelopes, corpus
+    #              indices, gains, tail seeds) and the step reconstructs
+    #              RIRs + propagates against a device-resident corpus —
+    #              ~10x fewer host->device bytes than shipping audio
+    #              (data/scene_mix.py)
+    device_mix: object = False
     # ship offline-training batches as the wavs' native int16 samples and
     # dequantize on-device inside the jitted step — halves host->device
     # transfer bytes (the binding cost on narrow host links); lossless

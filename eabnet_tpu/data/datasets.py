@@ -48,9 +48,12 @@ def load_and_crop(
     crop_seconds: Optional[float],
     rng: np.random.Generator,
     start_seconds: Optional[float] = None,
-) -> np.ndarray:
+    return_start: bool = False,
+):
     """Load mono audio, random-crop (pad if short), resample
-    (reference: dataset/mcse_dataset.py:32-49)."""
+    (reference: dataset/mcse_dataset.py:32-49). ``return_start`` also
+    returns the crop's start sample (in file samples) so the scene-mode
+    synthesis can replay the identical crop from a device-resident copy."""
     fs, audio = read_wav(path)
     if audio.ndim > 1:
         audio = audio[0]
@@ -67,7 +70,10 @@ def load_and_crop(
     audio = audio[start : start + n]
     if fs != target_fs:
         audio = resample(audio, fs, target_fs)
-    return audio.astype(np.float32)
+    audio = audio.astype(np.float32)
+    if return_start:
+        return audio, start
+    return audio
 
 
 def synthesize_item(
@@ -260,6 +266,13 @@ def _worker_synthesize_parts(args: Dict):
     return synthesize_item_parts(**args)
 
 
+def _worker_synthesize_scene(args: Dict):
+    from eabnet_tpu.data.scene_mix import synthesize_item_scene
+
+    args = {k: v for k, v in args.items() if k != "specific"}
+    return synthesize_item_scene(**args)
+
+
 class BatchLoader:
     """Multiprocess prefetching batch iterator.
 
@@ -273,13 +286,37 @@ class BatchLoader:
                  prefetch: int = 4, drop_last: bool = True,
                  shuffle: bool = True, seed: int = 0,
                  shard_index: int = 0, shard_count: int = 1,
-                 pad_multiple: int = 1, device_mix: bool = False):
+                 pad_multiple: int = 1, device_mix=False,
+                 mix_quantize: bool = False, rir_pad: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.pad_multiple = max(1, int(pad_multiple))
-        # device_mix: workers produce dry sources + RIRs; room propagation
-        # runs on-device per batch (data/device_mix.py)
-        self.device_mix = device_mix and hasattr(dataset, "item_args")
+        # device_mix (DataConfig.device_mix): offload level of online
+        # synthesis. "loader" (legacy True): workers produce dry sources +
+        # RIRs, the loader runs a standalone propagation program per batch
+        # and yields mixed audio. "parts": same worker output, but the
+        # loader yields the collated parts dict for a fused train step
+        # (int16-quantized when mix_quantize; RIRs padded to rir_pad when
+        # given so the whole run holds one jit shape). "scene": workers
+        # produce scene parameters only (data/scene_mix.py) and the loader
+        # yields the collated scene dict.
+        mode = {True: "loader", False: None}.get(device_mix, device_mix)
+        if mode not in (None, "loader", "parts", "scene"):
+            raise ValueError(f"unknown device_mix mode {device_mix!r}")
+        self.mix_mode = mode if hasattr(dataset, "item_args") else None
+        self.device_mix = self.mix_mode is not None
+        self.mix_quantize = mix_quantize
+        self.rir_pad = int(rir_pad)
+        self._scene_dims = None
+        if self.mix_mode == "scene":
+            from eabnet_tpu.data.scene_mix import scene_static_dims
+
+            self._scene_dims = scene_static_dims(
+                dataset.opt, dataset.clip_seconds)
+        self._s_max = (
+            1 + int(dataset.opt["noise"]["n"][1])
+            if self.device_mix and hasattr(dataset, "opt") else 6
+        )
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
@@ -323,6 +360,19 @@ class BatchLoader:
             idx[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        worker = {
+            None: _worker_synthesize,
+            "loader": _worker_synthesize_parts,
+            "parts": _worker_synthesize_parts,
+            "scene": _worker_synthesize_scene,
+        }[self.mix_mode]
+
+        def item_args(i):
+            args = self.ds.item_args(int(i), epoch)
+            if self.mix_mode == "scene":
+                args = dict(args, speech_index=int(i) % len(self.ds))
+            return args
+
         if self._pool is not None:
             # sliding submission window: at most `prefetch` batches in
             # flight, so epoch memory stays bounded
@@ -330,14 +380,9 @@ class BatchLoader:
 
             inflight = deque()
 
-            worker = (_worker_synthesize_parts if self.device_mix
-                      else _worker_synthesize)
-
             def submit(batch_idx):
                 inflight.append([
-                    self._pool.submit(
-                        worker, self.ds.item_args(int(i), epoch)
-                    )
+                    self._pool.submit(worker, item_args(i))
                     for i in batches[batch_idx]
                 ])
 
@@ -354,19 +399,24 @@ class BatchLoader:
         else:
             for b in batches:
                 if self.device_mix:
-                    yield self._finish([
-                        _worker_synthesize_parts(
-                            self.ds.item_args(int(i), epoch)
-                        )
-                        for i in b
-                    ])
+                    yield self._finish([worker(item_args(i)) for i in b])
                 else:
                     yield _collate([self.ds[int(i)] for i in b],
                                    self.pad_multiple)
 
-    def _finish(self, results) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def _finish(self, results):
         if not self.device_mix:
             return _collate(results, self.pad_multiple)
+        if self.mix_mode == "parts":
+            from eabnet_tpu.data.device_mix import collate_parts
+
+            return collate_parts(results, s_max=self._s_max,
+                                 rir_pad=self.rir_pad,
+                                 quantize=self.mix_quantize)
+        if self.mix_mode == "scene":
+            from eabnet_tpu.data.scene_mix import collate_scenes
+
+            return collate_scenes(results, self._scene_dims)
         from eabnet_tpu.data.device_mix import device_mix_batch
 
         noisy, clean = device_mix_batch(results)

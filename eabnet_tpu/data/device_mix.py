@@ -20,33 +20,58 @@ without an army of workers (tools/bench_datapipe.py measures this).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple  # noqa: F401
 
 import numpy as np
 
 from eabnet_tpu.data.rir import direct_path_rir
 
 
-@functools.lru_cache(maxsize=8)
-def _mixer(n: int, l_rir: int, s_max: int, m: int):
-    import jax
+def mix_parts(batch, n: int):
+    """Pure-jnp room propagation of a collated parts batch — callable
+    INSIDE a jitted program (the fused train step embeds it so the mixed
+    batch never leaves HBM; ``device_mix_batch`` wraps it standalone).
+
+    ``batch`` keys: sources (B,S,n) f32|int16, rirs (B,S,M,L) f32|int16,
+    h_direct (B,L) f32, and per-tensor scales src_scale (B,S) /
+    rir_scale (B,S,M) when the int16 transport is used
+    (``collate_parts(quantize=True)``). Returns (noisy (B,M,n) f32,
+    clean (B,n) f32).
+    """
     import jax.numpy as jnp
 
+    sources = batch["sources"]
+    rirs = batch["rirs"]
+    if sources.dtype == jnp.int16:
+        sources = sources.astype(jnp.float32) * (
+            batch["src_scale"][:, :, None] / 32767.0
+        )
+    if rirs.dtype == jnp.int16:
+        rirs = rirs.astype(jnp.float32) * (
+            batch["rir_scale"][:, :, :, None] / 32767.0
+        )
+    l_rir = rirs.shape[-1]
     nfft = 1
     while nfft < n + l_rir - 1:
         nfft *= 2
+    s_f = jnp.fft.rfft(sources, nfft, axis=-1)          # (B,S,F)
+    h_f = jnp.fft.rfft(rirs, nfft, axis=-1)             # (B,S,M,F)
+    acc = jnp.einsum("bsf,bsmf->bmf", s_f, h_f)
+    noisy = jnp.fft.irfft(acc, nfft, axis=-1)[..., :n]
+    d_f = jnp.fft.rfft(batch["h_direct"], nfft, axis=-1)  # (B,F)
+    clean = jnp.fft.irfft(s_f[:, 0] * d_f, nfft, axis=-1)[..., :n]
+    return noisy.astype(jnp.float32), clean.astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _mixer(n: int, l_rir: int, s_max: int, m: int):
+    import jax
 
     @jax.jit
     def mix(sources, rirs, h_direct):
-        # sources (B,S,n), rirs (B,S,M,L), h_direct (B,L) -> (B,M,n), (B,n)
-        s_f = jnp.fft.rfft(sources, nfft, axis=-1)          # (B,S,F)
-        h_f = jnp.fft.rfft(rirs, nfft, axis=-1)             # (B,S,M,F)
-        acc = jnp.einsum("bsf,bsmf->bmf", s_f, h_f)
-        noisy = jnp.fft.irfft(acc, nfft, axis=-1)[..., :n]
-        d_f = jnp.fft.rfft(h_direct, nfft, axis=-1)         # (B,F)
-        clean = jnp.fft.irfft(s_f[:, 0] * d_f, nfft,
-                              axis=-1)[..., :n]
-        return noisy.astype(jnp.float32), clean.astype(jnp.float32)
+        return mix_parts(
+            {"sources": sources, "rirs": rirs, "h_direct": h_direct}, n
+        )
 
     return mix
 
@@ -130,23 +155,40 @@ def _resolve_rir_fn(backend: str):
     return shoebox_rir
 
 
-def device_mix_batch(
+def collate_parts(
     parts: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     s_max: int = 6,
     rir_bucket: int = 4000,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Collate per-item parts and propagate the whole batch on-device.
+    rir_pad: int = 0,
+    quantize: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Collate per-item parts into the static-shaped batch ``mix_parts``
+    consumes.
 
-    ``s_max`` bounds the source count (1 speech + up to 5 noises in every
-    shipped settings JSON); RIR lengths are zero-padded up to a multiple of
-    ``rir_bucket`` samples so jit shapes stay bucketed.
+    ``s_max`` bounds the source count (1 speech + up to ``s_max - 1``
+    noises); RIR lengths are zero-padded up to a multiple of ``rir_bucket``
+    samples — or to exactly ``rir_pad`` when given, which pins ONE jit
+    shape for a whole training run (each distinct bucket costs a full
+    train-step recompile). ``quantize`` ships sources and RIRs as int16
+    with per-source / per-(source, mic) float scales: ~2x fewer
+    host->device bytes at a -90 dB quantization floor (relative to each
+    signal's own peak — below the int16 wav floor offline training
+    already lives with).
     """
     b = len(parts)
     n = max(p[0].shape[1] for p in parts)
     m = parts[0][1].shape[1]
     l_rir = max(max(p[1].shape[2] for p in parts),
                 max(p[2].shape[0] for p in parts))
-    l_rir = ((l_rir + rir_bucket - 1) // rir_bucket) * rir_bucket
+    if rir_pad:
+        if l_rir > rir_pad:
+            raise ValueError(
+                f"rir_pad={rir_pad} shorter than a rendered RIR ({l_rir} "
+                "samples); raise rir_pad (it must cover 1.25*rt60_max "
+                "plus the max propagation delay)")
+        l_rir = rir_pad
+    else:
+        l_rir = ((l_rir + rir_bucket - 1) // rir_bucket) * rir_bucket
 
     sources = np.zeros((b, s_max, n), np.float32)
     rirs = np.zeros((b, s_max, m, l_rir), np.float32)
@@ -156,6 +198,37 @@ def device_mix_batch(
         sources[i, :s, : src.shape[1]] = src[:s]
         rirs[i, :s, :, : rr.shape[2]] = rr[:s]
         h_direct[i, : hd.shape[0]] = hd
+    batch = {"h_direct": h_direct,
+             "lengths": np.full((b,), n, np.int32)}
+    if not quantize:
+        batch["sources"] = sources
+        batch["rirs"] = rirs
+        return batch
+    src_scale = np.abs(sources).max(axis=-1)            # (B,S)
+    rir_scale = np.abs(rirs).max(axis=-1)               # (B,S,M)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sq = np.where(src_scale[:, :, None] > 0,
+                      sources / src_scale[:, :, None], 0.0)
+        rq = np.where(rir_scale[:, :, :, None] > 0,
+                      rirs / rir_scale[:, :, :, None], 0.0)
+    batch["sources"] = np.round(sq * 32767.0).astype(np.int16)
+    batch["src_scale"] = src_scale.astype(np.float32)
+    batch["rirs"] = np.round(rq * 32767.0).astype(np.int16)
+    batch["rir_scale"] = rir_scale.astype(np.float32)
+    return batch
 
-    noisy, clean = _mixer(n, l_rir, s_max, m)(sources, rirs, h_direct)
+
+def device_mix_batch(
+    parts: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    s_max: int = 6,
+    rir_bucket: int = 4000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Collate per-item parts and propagate the whole batch on-device as a
+    standalone jitted program (loader-level offload; the fused train step
+    calls ``mix_parts`` directly instead)."""
+    batch = collate_parts(parts, s_max=s_max, rir_bucket=rir_bucket)
+    n = batch["sources"].shape[-1]
+    noisy, clean = _mixer(n, batch["rirs"].shape[-1], s_max,
+                          batch["rirs"].shape[2])(
+        batch["sources"], batch["rirs"], batch["h_direct"])
     return np.asarray(noisy), np.asarray(clean)

@@ -43,6 +43,40 @@ def active_noise_rms(noise: np.ndarray, fs: int,
     return float(np.sqrt(e / np.sum(seg_lens[active])))
 
 
+def snr_gains(
+    clean: np.ndarray,
+    noises: Sequence[np.ndarray],
+    snrs_db: Sequence[float],
+    mixed_dbfs: float,
+    fs: int,
+) -> Tuple[float, List[float]]:
+    """The scalar gains :func:`mix_at_snr` applies to each RAW signal ->
+    (g_clean, [g_noise...]).
+
+    Factored out so the device-resident synthesis path (data/scene_mix.py)
+    can ship gains instead of scaled waveforms: ``raw * gain`` on device
+    reproduces ``mix_at_snr``'s outputs exactly (same float operations).
+    """
+    peak_c = np.max(np.abs(clean)) + EPS
+    clean_n = clean / peak_c
+    rms_clean = float(np.sqrt(np.mean(clean_n**2)))
+    g_noises = []
+    scaled = []
+    for noise, snr in zip(noises, snrs_db):
+        peak_n = np.max(np.abs(noise)) + EPS
+        noise_n = noise / peak_n
+        rms_n = active_noise_rms(noise_n, fs)
+        scale = rms_clean / (10.0 ** (snr / 20.0)) / (rms_n + EPS)
+        g_noises.append(scale / peak_n)
+        scaled.append(noise_n * scale)
+    mixture = clean_n.copy()
+    for noise in scaled:
+        mixture = mixture + noise
+    rms_mix = float(np.sqrt(np.mean(mixture**2)))
+    g = 10.0 ** (mixed_dbfs / 20.0) / (rms_mix + EPS)
+    return float(g / peak_c), [float(gn * g) for gn in g_noises]
+
+
 def mix_at_snr(
     clean: np.ndarray,
     noises: Sequence[np.ndarray],

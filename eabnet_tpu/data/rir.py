@@ -310,6 +310,85 @@ def histogram_tail(
     return out
 
 
+def ism_image_params(
+    room_dim: Sequence[float],
+    src: Sequence[float],
+    mics: np.ndarray,
+    e_absorption: float,
+    ism_order: int,
+    fs: int,
+    air_absorption: float = 0.0,
+    c: float = SPEED_OF_SOUND,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-(mic, image) fractional delays and amplitudes of the truncated
+    ISM -> (delays (M, K) samples, amps (M, K)), both float64.
+
+    The K image count depends only on ``ism_order`` (the image lattice is
+    geometry-independent), so batches of scenes share a static K — the
+    device-side scene synthesis (data/scene_mix.py) ships exactly these
+    two arrays instead of dense RIRs.
+    """
+    room = np.asarray(room_dim, np.float64)
+    src = np.asarray(src, np.float64)
+    mics = np.atleast_2d(np.asarray(mics, np.float64))
+    if mics.shape[0] == 3 and mics.shape[1] != 3:
+        mics = mics.T
+    beta = math.sqrt(max(0.0, 1.0 - e_absorption))
+    pos, n_refl = _image_sources(src, room, ism_order)
+    damp = beta ** n_refl  # (K,)
+    d = np.linalg.norm(pos[None, :, :] - mics[:, None, :], axis=2)
+    d = np.maximum(d, 1e-3)  # (M, K)
+    amps = damp[None, :] / (4.0 * np.pi * d)
+    if air_absorption > 0.0:
+        amps = amps * np.exp(-0.5 * air_absorption * d)
+    return d * fs / c, amps
+
+
+def ism_early_rir(
+    room_dim: Sequence[float],
+    src: Sequence[float],
+    mics: np.ndarray,
+    e_absorption: float,
+    ism_order: int,
+    fs: int,
+    air_absorption: float = 0.0,
+    c: float = SPEED_OF_SOUND,
+) -> Tuple[np.ndarray, float]:
+    """Dense truncated-ISM RIR -> ((M, L) float32, max image distance m).
+
+    The early half of every method of :func:`shoebox_rir`; factored out
+    so the device-side reconstruction (data/scene_mix.py) can be parity-
+    tested against the exact host construction.
+    """
+    mics = np.atleast_2d(np.asarray(mics, np.float64))
+    if mics.shape[0] == 3 and mics.shape[1] != 3:
+        mics = mics.T
+    delays, amps = ism_image_params(
+        room_dim, src, mics, e_absorption, ism_order, fs,
+        air_absorption=air_absorption, c=c,
+    )
+    m = mics.shape[0]
+    rirs = []
+    for mi in range(m):
+        base = np.floor(delays[mi]).astype(np.int64)
+        frac = delays[mi] - base
+        filt = _frac_delay_filter(frac) * amps[mi][:, None]
+        length = int(base.max()) + FDL
+        # scatter-add all filters at once via bincount on a left-padded
+        # buffer (offset FDL//2 keeps all indices non-negative)
+        idx = (base[:, None] + np.arange(FDL)[None, :]).ravel()
+        h_pad = np.bincount(
+            idx, weights=filt.ravel(), minlength=length + FDL // 2
+        )
+        rirs.append(h_pad[FDL // 2 :])
+    length = max(len(h) for h in rirs)
+    out = np.zeros((m, length), np.float32)
+    for mi, h in enumerate(rirs):
+        out[mi, : len(h)] = h
+    max_dist = float(delays.max()) * c / fs
+    return out, max_dist
+
+
 def shoebox_rir(
     room_dim: Sequence[float],
     src: Sequence[float],
@@ -342,37 +421,10 @@ def shoebox_rir(
 
     ism_order, air_absorption, hybrid_hist = resolve_rir_method(
         method, max_order, rt60, air_absorption)
-    beta = math.sqrt(max(0.0, 1.0 - e_absorption))
-    pos, n_refl = _image_sources(src, room, ism_order)
-    damp = beta ** n_refl  # (K,)
-
-    m = mics.shape[0]
-    rirs = []
-    max_dist = 0.0
-    for mi in range(m):
-        d = np.linalg.norm(pos - mics[mi][None, :], axis=1)
-        d = np.maximum(d, 1e-3)
-        max_dist = max(max_dist, float(d.max()))
-        amp = damp / (4.0 * np.pi * d)
-        if air_absorption > 0.0:
-            amp = amp * np.exp(-0.5 * air_absorption * d)
-        delay = d * fs / c  # in samples
-        base = np.floor(delay).astype(np.int64)
-        frac = delay - base
-        filt = _frac_delay_filter(frac) * amp[:, None]
-        length = int(base.max()) + FDL
-        # scatter-add all filters at once via bincount on a left-padded
-        # buffer (offset FDL//2 keeps all indices non-negative)
-        idx = (base[:, None] + np.arange(FDL)[None, :]).ravel()
-        h_pad = np.bincount(
-            idx, weights=filt.ravel(), minlength=length + FDL // 2
-        )
-        rirs.append(h_pad[FDL // 2 :])
-
-    length = max(len(h) for h in rirs)
-    out = np.zeros((m, length), np.float32)
-    for mi, h in enumerate(rirs):
-        out[mi, : len(h)] = h
+    out, max_dist = ism_early_rir(
+        room, src, mics, e_absorption, ism_order, fs,
+        air_absorption=air_absorption, c=c,
+    )
 
     if hybrid_hist:
         out = add_histogram_tail(out, room, src, mics, e_absorption,

@@ -98,9 +98,27 @@ def make_train_step(
     cfg: ExperimentConfig,
     model: Optional[EaBNetWithPostNet] = None,
     donate: bool = True,
+    batch_kind: str = "wav",
+    scene_dims: Optional[dict] = None,
 ) -> Callable:
-    """Build the jitted train step: (state, noisy_wav (B,M,N),
-    target_wav (B,N)) -> (state, loss dict)."""
+    """Build the jitted train step.
+
+    ``batch_kind`` selects the input contract — all three compile to ONE
+    fused XLA program (synthesis, featurization, model, grads, update):
+
+    - "wav"   (state, noisy_wav (B,M,N), target_wav (B,N), n_samples)
+              — pre-mixed audio (offline data, or host-mixed online).
+    - "parts" (state, batch dict) — dry sources + dense RIRs from the
+              loader (DataConfig.device_mix="parts"); the room
+              propagation runs inside the step (data/device_mix.py::
+              mix_parts), so the mixed batch never leaves HBM.
+    - "scene" (state, batch dict, corpus_speech, corpus_noise) — scene
+              parameters only (DataConfig.device_mix="scene"); the step
+              reconstructs RIRs and propagates against the
+              device-resident corpus (data/scene_mix.py::mix_scene).
+              ``scene_dims`` are the static shapes from
+              scene_static_dims.
+    """
     model = model or build_model(cfg.model)
     tx = make_optimizer(cfg)
     has_bn = (
@@ -164,13 +182,7 @@ def make_train_step(
         losses = eabnet_with_postnet_loss(out, target, mask)
         return losses["final"], (losses, new_stats)
 
-    def train_step(state: TrainState, noisy_wav, target_wav,
-                   n_samples=None):
-        noisy_wav = _dequant(noisy_wav)
-        target_wav = _dequant(target_wav)
-        if n_samples is None:
-            n_samples = jnp.full((noisy_wav.shape[0],),
-                                 noisy_wav.shape[-1], jnp.int32)
+    def step_body(state: TrainState, noisy_wav, target_wav, n_samples):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, noisy_wav, target_wav,
@@ -197,7 +209,46 @@ def make_train_step(
         )
         return new_state, losses
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    donate_args = (0,) if donate else ()
+    if batch_kind == "wav":
+
+        def train_step(state: TrainState, noisy_wav, target_wav,
+                       n_samples=None):
+            noisy_wav = _dequant(noisy_wav)
+            target_wav = _dequant(target_wav)
+            if n_samples is None:
+                n_samples = jnp.full((noisy_wav.shape[0],),
+                                     noisy_wav.shape[-1], jnp.int32)
+            return step_body(state, noisy_wav, target_wav, n_samples)
+
+        return jax.jit(train_step, donate_argnums=donate_args)
+
+    if batch_kind == "parts":
+        from eabnet_tpu.data.device_mix import mix_parts
+
+        def train_step(state: TrainState, batch):
+            noisy_wav, target_wav = mix_parts(
+                batch, batch["sources"].shape[-1])
+            return step_body(state, noisy_wav, target_wav,
+                             batch["lengths"])
+
+        return jax.jit(train_step, donate_argnums=donate_args)
+
+    if batch_kind == "scene":
+        if scene_dims is None:
+            raise ValueError("batch_kind='scene' needs scene_dims")
+        from eabnet_tpu.data.scene_mix import mix_scene
+
+        def train_step(state: TrainState, batch, corpus_speech,
+                       corpus_noise):
+            noisy_wav, target_wav = mix_scene(
+                batch, corpus_speech, corpus_noise, scene_dims)
+            return step_body(state, noisy_wav, target_wav,
+                             batch["lengths"])
+
+        return jax.jit(train_step, donate_argnums=donate_args)
+
+    raise ValueError(f"unknown batch_kind {batch_kind!r}")
 
 
 def make_eval_step(cfg: ExperimentConfig,

@@ -127,11 +127,53 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
         cfg.data, mics=cfg.model.eabnet.M, seed=cfg.train.seed
     )
     pad_multiple = max(1, int(cfg.data.pad_to_seconds * cfg.stft.sr))
+
+    # device-offloaded online synthesis: "parts" fuses the room
+    # propagation into the train step; "scene" additionally keeps the
+    # corpus device-resident and ships scene parameters only
+    mix_mode = {True: "loader", False: None}.get(
+        cfg.data.device_mix, cfg.data.device_mix)
+    batch_kind = mix_mode if mix_mode in ("parts", "scene") else "wav"
+    scene_dims = None
+    rir_pad = 0
+    step_extras = ()
+    if batch_kind != "wav" and hasattr(train_ds, "opt"):
+        from eabnet_tpu.data.scene_mix import scene_static_dims
+
+        try:
+            scene_dims = scene_static_dims(
+                train_ds.opt, cfg.data.clip_seconds)
+            # one static RIR shape for the whole run: every distinct
+            # bucket would cost a full train-step recompile
+            rir_pad = scene_dims["l_rir"]
+        except ValueError:
+            if batch_kind == "scene":
+                raise
+    if batch_kind == "scene":
+        from eabnet_tpu.data.scene_mix import load_corpus_int16
+
+        fs = int(train_ds.opt["audio"]["fs"])
+        corpus = tuple(
+            jax.device_put(
+                load_corpus_int16(root, names, fs), replicate(mesh))
+            for root, names in (
+                (train_ds.speech_root, train_ds.speech_list),
+                (train_ds.noise_root, train_ds.noise_list),
+            )
+        )
+        step_extras = corpus
+        if chief:
+            nbytes = sum(int(np.prod(c.shape)) * 2 for c in corpus)
+            print(f"scene mode: device-resident corpus "
+                  f"{corpus[0].shape[0]} speech + {corpus[1].shape[0]} "
+                  f"noise files ({nbytes / 1e6:.0f} MB, replicated)")
+
     train_loader = BatchLoader(
         train_ds, cfg.train.batch_size, num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch, shuffle=True, seed=cfg.train.seed,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
         pad_multiple=pad_multiple, device_mix=cfg.data.device_mix,
+        mix_quantize=cfg.data.transfer_int16, rir_pad=rir_pad,
     )
     val_loader = (
         BatchLoader(val_ds, 1, shuffle=False, drop_last=False,
@@ -142,7 +184,8 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
         else None
     )
 
-    train_step = make_train_step(cfg, model)
+    train_step = make_train_step(cfg, model, batch_kind=batch_kind,
+                                 scene_dims=scene_dims)
     eval_step = make_eval_step(cfg, model)
 
     steps_per_epoch = max(1, len(train_loader))
@@ -156,11 +199,17 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
     window = {}
     t_last = time.time()
     for epoch in range(resume_epoch + 1, cfg.train.total_epoch):
-        for noisy, target, n_samples in train_loader.epoch(epoch):
-            noisy = jax.device_put(noisy, sharding)
-            target = jax.device_put(target, sharding)
-            n_samples = jax.device_put(n_samples, sharding)
-            state, losses = train_step(state, noisy, target, n_samples)
+        for batch in train_loader.epoch(epoch):
+            if batch_kind == "wav":
+                noisy, target, n_samples = batch
+                noisy = jax.device_put(noisy, sharding)
+                target = jax.device_put(target, sharding)
+                n_samples = jax.device_put(n_samples, sharding)
+                state, losses = train_step(state, noisy, target,
+                                           n_samples)
+            else:
+                batch = jax.device_put(batch, sharding)
+                state, losses = train_step(state, batch, *step_extras)
             current_iter += 1
 
             if chief:

@@ -32,9 +32,12 @@ import numpy as np
 
 
 def stage_data(root, n_speech, n_noise, seconds, train_items, val_items,
-               workers, settings):
-    """Corpus -> split -> offline train render -> frozen val render.
-    Every stage is skipped if its output already exists (resumable)."""
+               workers, settings, render_train=True):
+    """Corpus -> split -> offline train render (offline mode only) ->
+    frozen val render. Every stage is skipped if its output already
+    exists (resumable). Online mode trains straight off the corpus
+    (per-item scenes synthesized on the fly), so only the frozen val set
+    is rendered."""
     from tools.e2e_demo import make_corpus
 
     sp_dir = os.path.join(root, "speech")
@@ -53,14 +56,16 @@ def stage_data(root, n_speech, n_noise, seconds, train_items, val_items,
     lists = os.path.join(root, "lists")
     split_main(["--speech-root", sp_dir, "--noise-root", no_dir,
                 "--out-dir", lists])
-    datagen_main([
-        "--output-dir", os.path.join(root, "train_set"),
-        "--speech-root", sp_dir, "--noise-root", no_dir,
-        "--speech-list", os.path.join(lists, "speechs_train"),
-        "--noise-list", os.path.join(lists, "noises_train"),
-        "--mcse-settings", settings_path, "--clip-seconds", str(seconds),
-        "--workers", str(workers), "--items", str(train_items),
-    ])
+    if render_train:
+        datagen_main([
+            "--output-dir", os.path.join(root, "train_set"),
+            "--speech-root", sp_dir, "--noise-root", no_dir,
+            "--speech-list", os.path.join(lists, "speechs_train"),
+            "--noise-list", os.path.join(lists, "noises_train"),
+            "--mcse-settings", settings_path,
+            "--clip-seconds", str(seconds),
+            "--workers", str(workers), "--items", str(train_items),
+        ])
     datagen_main([
         "--output-dir", os.path.join(root, "val"),
         "--speech-root", sp_dir, "--noise-root", no_dir,
@@ -137,6 +142,23 @@ def main():
                     "an unbounded process OOMs a 128 GB host after ~8k "
                     "steps. See examples/train_composed_two_phase.sh")
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--train-set", default="offline",
+                    choices=["offline", "online"],
+                    help="offline = pre-rendered pairs (train_wbh.sh "
+                    "regime); online = per-item on-the-fly synthesis, "
+                    "the reference's DEFAULT data mode "
+                    "(train_zc.sh:27-41, dataset/mcse_dataset.py:52-260)")
+    ap.add_argument("--device-mix", default="none",
+                    choices=["none", "loader", "parts", "scene"],
+                    help="online-mode synthesis offload "
+                    "(DataConfig.device_mix): 'scene' ships scene "
+                    "parameters only and mixes against the "
+                    "device-resident corpus inside the train step")
+    ap.add_argument("--bf-impl", default=None,
+                    choices=["scan", "pallas"],
+                    help="LSTM-BF head implementation (pallas = the "
+                    "fused custom-VJP kernel, the measured single-chip "
+                    "training envelope peak at batch 16 bf16)")
     ap.add_argument("--norm-type", default=None,
                     choices=["IN", "BN", "cLN"],
                     help="override the norm for BOTH nets; cLN trains the "
@@ -165,6 +187,7 @@ def main():
     settings_path = stage_data(
         root, args.corpus_speech, args.corpus_noise, args.seconds,
         args.train_items, args.val_items, args.workers, SETTINGS,
+        render_train=args.train_set == "offline",
     )
     print(f"[long_train] data staged in {time.time() - t0:.0f}s",
           flush=True)
@@ -190,13 +213,25 @@ def main():
         if args.norm_type is not None:
             eab = dataclasses.replace(eab, norm_type=args.norm_type)
             gag = dataclasses.replace(gag, norm_type=args.norm_type)
-        return ExperimentConfig(
-            model=ComposedConfig(
-                eabnet=eab,
-                gagnet=gag,
-                freeze_eabnet=frozen,
-            ),
-            data=DataConfig(
+        if args.bf_impl is not None:
+            eab = dataclasses.replace(eab, bf_impl=args.bf_impl)
+        if args.train_set == "online":
+            lists = os.path.join(root, "lists")
+            data = DataConfig(
+                dataset="mcse", train_set="online",
+                speech_root=os.path.join(root, "speech"),
+                noise_root=os.path.join(root, "noise"),
+                speech_list=os.path.join(lists, "speechs_train"),
+                noise_list=os.path.join(lists, "noises_train"),
+                device_mix=(False if args.device_mix == "none"
+                            else args.device_mix),
+                transfer_int16=True,
+                mcse_settings=settings_path,
+                val_set=os.path.join(root, "val"),
+                clip_seconds=args.seconds, num_workers=args.workers,
+            )
+        else:
+            data = DataConfig(
                 dataset="mcse", train_set="offline",
                 # offline mcse training reads paired clean/+noisy/ dirs
                 # from speech_root (data/datasets.py:388)
@@ -205,7 +240,14 @@ def main():
                 mcse_settings=settings_path,
                 val_set=os.path.join(root, "val"),
                 clip_seconds=args.seconds, num_workers=args.workers,
+            )
+        return ExperimentConfig(
+            model=ComposedConfig(
+                eabnet=eab,
+                gagnet=gag,
+                freeze_eabnet=frozen,
             ),
+            data=data,
             train=TrainConfig(
                 batch_size=args.batch, wav_len=args.seconds,
                 total_epoch=10**9, log_every=50, lr=args.lr,
