@@ -35,6 +35,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None,
                         help="files per device batch in directory mode "
                         "(default: 1, or the mesh size with --mesh)")
+    parser.add_argument("--shard-freq", action="store_true",
+                        help="frequency-axis MODEL parallelism: all "
+                        "devices split the network's F axis (1 x N "
+                        "('data','freq') mesh) — batch-1 LATENCY "
+                        "scaling (lane-parallel LSTM head, "
+                        "halo-exchanged freq convs); exclusive with "
+                        "--mesh (which scales THROUGHPUT via batch)")
     parser.add_argument(
         "--mic-permutation", default=None,
         help="comma-separated capture-channel order, e.g. 7,0,1,2,3,4,5,6 "
@@ -53,15 +60,22 @@ def main(argv=None):
         perm = [int(x) for x in args.mic_permutation.split(",")]
 
     mesh = None
+    if args.mesh and args.shard_freq:
+        raise SystemExit("--mesh (batch/throughput) and --shard-freq "
+                         "(model/latency) are exclusive")
     if args.mesh:
         from eabnet_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    elif args.shard_freq:
+        from eabnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(("data", "freq"), sizes=(1, -1))
 
     enhancer = load_enhancer(args.exp_root, args.ckpt,
                              output=args.output_stage,
                              compute_dtype=args.compute_dtype,
-                             mesh=mesh)
+                             mesh=mesh, shard_freq=args.shard_freq)
 
     if os.path.isdir(args.input):
         os.makedirs(args.output, exist_ok=True)
@@ -69,6 +83,14 @@ def main(argv=None):
             n for n in os.listdir(args.input) if n.endswith(".wav")
         )
         bs = args.batch_size or (mesh.shape["data"] if mesh else 1)
+        if mesh is not None and bs % mesh.shape["data"] != 0:
+            # a chunk smaller than the mesh quantum is silently zero-
+            # padded up to it inside enhance_batch, leaving most devices
+            # computing padding — round up instead
+            bs = -(-bs // mesh.shape["data"]) * mesh.shape["data"]
+            print(f"--batch-size rounded up to {bs} (the mesh's 'data' "
+                  f"axis is {mesh.shape['data']} wide; smaller chunks "
+                  "would run part-empty device batches)")
         if bs > 1:
             print(f"enhancing {len(names)} files in batches of {bs}")
             enhancer.enhance_files(

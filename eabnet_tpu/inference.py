@@ -33,7 +33,8 @@ class Enhancer:
 
     def __init__(self, cfg: ExperimentConfig, params,
                  bucket_seconds: float = 1.0, output: str = "esti",
-                 compute_dtype: str = "float32", mesh=None):
+                 compute_dtype: str = "float32", mesh=None,
+                 shard_freq: bool = False):
         """``output`` selects the enhancement stage: "esti" = composed
         EaBNet + GaGNet refinement (the reference enhance.py's
         esti_stft), "esti0" = the bare EaBNet beamformer (what the
@@ -52,7 +53,20 @@ class Enhancer:
         ``enhance_batch``/``enhance_files`` pad the batch dimension up
         to the mesh size. The reference has no multi-device inference at
         all (enhance.py runs one file on one GPU); here the same jitted
-        pipeline scales over ICI with no code change."""
+        pipeline scales over ICI with no code change.
+
+        ``shard_freq`` turns on FREQUENCY-axis model parallelism for
+        latency (not throughput): with a mesh carrying a 'freq' axis
+        (``make_mesh(("data", "freq"))``), the STFT tensor's F dimension
+        is sharding-constrained over 'freq' and XLA GSPMD parallelizes
+        the network along it — the LSTM-BF head's B*F recurrence lanes
+        are fully independent (zero-communication split, and the
+        recurrence is the single-stream latency floor, ROOFLINE.md), and
+        freq is the model's only downsampled conv axis, so the conv
+        stages shard with halo exchanges over ICI. Batch-1 latency then
+        scales with the freq shards instead of being fixed by one chip.
+        See ARCHITECTURE.md ("Frequency-sharded serving") for the
+        latency model."""
         if output not in ("esti", "esti0"):
             raise ValueError(f"output must be 'esti' or 'esti0', "
                              f"got {output!r}")
@@ -67,6 +81,17 @@ class Enhancer:
                               else jnp.float32)
         self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
         self.mesh = mesh
+        self._freq_sharding = None
+        if shard_freq:
+            if mesh is None or "freq" not in mesh.shape:
+                raise ValueError(
+                    "shard_freq needs a mesh with a 'freq' axis, e.g. "
+                    "make_mesh(('data', 'freq'))")
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # (B, T, F, M, 2): batch over 'data', frequency over 'freq'
+            self._freq_sharding = NamedSharding(
+                mesh, PartitionSpec("data", None, "freq"))
         if mesh is not None:
             from eabnet_tpu.parallel import data_sharding, replicate
 
@@ -82,6 +107,13 @@ class Enhancer:
 
     def _enhance(self, params, noisy_wav: jnp.ndarray) -> jnp.ndarray:
         noisy_stft, _ = prepare_data(noisy_wav, None, self.cfg.stft)
+        if self._freq_sharding is not None:
+            # introduce the freq split here (F first exists post-STFT);
+            # GSPMD propagates it through the network — lane-parallel
+            # LSTM head, halo-exchanged freq convs — and gathers F back
+            # for the iSTFT
+            noisy_stft = jax.lax.with_sharding_constraint(
+                noisy_stft, self._freq_sharding)
         if self.compute_dtype != jnp.float32:
             params = jax.tree.map(
                 lambda p: p.astype(self.compute_dtype), params
@@ -106,22 +138,40 @@ class Enhancer:
         the batch dimension is padded up to a multiple of the mesh's
         'data' axis (1 without a mesh) so the batch shards evenly over
         the devices; outputs are trimmed back to each item's length.
-        Right-padding is exact for this model — it is causal in time
-        (causal convs + unidirectional LSTM) and zero frames contribute
-        nothing to the iSTFT overlap-add before an item's own end.
+
+        Padding exactness: every item is guaranteed a zero tail of at
+        least n_fft//2 + 1 samples before bucketing (the offline STFT
+        reflect-pads its ends, dsp/stft.py; without the guaranteed tail,
+        an item landing exactly on a bucket boundary would reflect real
+        audio in a short batch but zeros in a longer one, silently
+        changing its final ~10 ms). With the tail, any further padding
+        is all-zero frames past the item's own zeros, which a
+        TIME-CAUSAL model (causal convs + unidirectional LSTM + cLN/BN
+        norms — the shipped configs) provably cannot see. Non-causal
+        configs (is_causal=False) or IN norms (whole-utterance
+        statistics) make outputs depend weakly on total padded length;
+        batching such a model trades exact per-item reproducibility for
+        throughput.
         """
         if not wavs:
             return []
-        if mic_permutation is not None:
-            idx = np.asarray(mic_permutation)
-            wavs = [w[idx] for w in wavs]
         mics = {w.shape[0] for w in wavs}
         if len(mics) != 1:
             raise ValueError(
                 f"all items in a batch must share a mic count, got {mics}"
             )
+        if mic_permutation is not None:
+            idx = np.asarray(mic_permutation)
+            (m,) = mics
+            if idx.ndim != 1 or idx.size == 0 or idx.min() < 0 \
+                    or idx.max() >= m:
+                raise ValueError(
+                    f"mic_permutation {mic_permutation} out of range for "
+                    f"{m}-mic input")
+            wavs = [w[idx] for w in wavs]
         lengths = [w.shape[-1] for w in wavs]
-        padded = ((max(lengths) + self.bucket - 1)
+        tail = self.cfg.stft.fft_num // 2 + 1
+        padded = ((max(lengths) + tail + self.bucket - 1)
                   // self.bucket) * self.bucket
         batch = np.stack([
             np.pad(w, ((0, 0), (0, padded - w.shape[-1]))) for w in wavs
@@ -173,7 +223,7 @@ def load_enhancer(exp_root: str,
                   checkpoint: Optional[str] = None,
                   output: str = "esti",
                   compute_dtype: str = "float32",
-                  mesh=None) -> Enhancer:
+                  mesh=None, shard_freq: bool = False) -> Enhancer:
     """Build an Enhancer from an experiment dir — either this framework's
     (config.json + *.ckpt) or a REFERENCE experiment directory
     (args.pickle + *.pth, the format frozen by train_distributed.py:360-361)
@@ -199,4 +249,5 @@ def load_enhancer(exp_root: str,
         raise FileNotFoundError(f"no checkpoint found under {exp_root}")
     state, _ = load_checkpoint(ckpt, state, cfg)
     return Enhancer(cfg, state.params, output=output,
-                    compute_dtype=compute_dtype, mesh=mesh)
+                    compute_dtype=compute_dtype, mesh=mesh,
+                    shard_freq=shard_freq)

@@ -25,14 +25,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(axes: Sequence[str] = ("data",),
-              devices: Optional[Sequence] = None) -> Mesh:
-    """1-D (or reshaped n-D) mesh over the available devices."""
+              devices: Optional[Sequence] = None,
+              sizes: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D (or reshaped n-D) mesh over the available devices.
+
+    ``sizes`` pins each axis's extent (one entry may be -1 to absorb the
+    rest); without it the leading axis takes all devices. E.g. the
+    batch-1 latency-serving mesh: ``make_mesh(("data", "freq"),
+    sizes=(1, -1))`` — all chips on the model's frequency axis.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    if len(axes) == 1:
+    n = len(devices)
+    if sizes is not None:
+        sizes = list(sizes)
+        if -1 in sizes:
+            known = int(np.prod([s for s in sizes if s != -1]))
+            sizes[sizes.index(-1)] = n // known
+        if int(np.prod(sizes)) != n:
+            raise ValueError(f"mesh sizes {sizes} != {n} devices")
+        dev_array = np.array(devices).reshape(sizes)
+    elif len(axes) == 1:
         dev_array = np.array(devices)
     else:
         # fill trailing axes greedily; leading axis absorbs the rest
-        n = len(devices)
         sizes = [1] * len(axes)
         sizes[0] = n
         dev_array = np.array(devices).reshape(sizes)

@@ -24,10 +24,17 @@ def tiny_setup():
                                    ExperimentConfig, GaGNetConfig)
     from eabnet_tpu.train.step import create_train_state
 
+    # cLN: the TIME-CAUSAL norm of the shipped artifacts. The per-item ==
+    # batched equality contract holds only for fully causal configs
+    # (causal convs + unidirectional LSTM + cLN); IN computes
+    # whole-utterance statistics, so its outputs depend weakly on the
+    # total padded length by construction (see Enhancer.enhance_batch).
     cfg = ExperimentConfig(
         model=ComposedConfig(
-            eabnet=EaBNetConfig(M=3, c=16, embed_dim=16, cd1=16, p=2, q=1),
-            gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2)),
+            eabnet=EaBNetConfig(M=3, c=16, embed_dim=16, cd1=16, p=2, q=1,
+                                norm_type="cLN"),
+            gagnet=GaGNetConfig(c=12, cd1=12, p=1, q=1, dilas=(1, 2),
+                                norm_type="cLN"),
         ),
     )
     _, state = create_train_state(cfg, jax.random.key(0))
@@ -44,10 +51,14 @@ def test_mesh_batch_matches_per_item(tiny_setup):
     assert len(jax.devices()) == 8
 
     rng = np.random.default_rng(3)
-    # ragged lengths, fewer items than devices (exercises batch padding)
+    # ragged lengths, fewer items than devices (exercises batch padding).
+    # 4800/6500/8000 share a 0.5 s bucket; 12000 forces the batch bucket
+    # PAST the short items' solo buckets (the padding-extension path) and
+    # 8000 sits exactly on a bucket boundary (zero natural tail — the
+    # reflect-pad divergence case the guaranteed zero tail fixes)
     wavs = [
         (rng.standard_normal((3, n)) * 0.05).astype(np.float32)
-        for n in (4800, 8000, 6500)
+        for n in (4800, 8000, 6500, 12000)
     ]
 
     solo = Enhancer(cfg, params, bucket_seconds=0.5)
@@ -64,6 +75,37 @@ def test_mesh_batch_matches_per_item(tiny_setup):
         np.testing.assert_allclose(g, r, atol=2e-5, rtol=0)
 
 
+def test_freq_sharded_serving_matches_single_device(tiny_setup):
+    """Frequency-axis MODEL parallelism (Enhancer(shard_freq=True)): a
+    1x8 ('data','freq') mesh splits the STFT tensor's F axis over all
+    devices — lane-parallel LSTM-BF recurrence, halo-exchanged freq
+    convs — for batch-1 LATENCY scaling. GSPMD preserves semantics, so
+    the output must equal the single-device path.
+
+    Reference analog: none (enhance.py is single-GPU); SURVEY §5 names
+    freq as the natural model-parallel axis."""
+    import jax
+
+    from eabnet_tpu.inference import Enhancer
+    from eabnet_tpu.parallel import make_mesh
+
+    cfg, params = tiny_setup
+    mesh = make_mesh(("data", "freq"), sizes=(1, -1))
+    assert mesh.shape["freq"] == 8
+
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal((3, 9600)) * 0.05).astype(np.float32)
+
+    solo = Enhancer(cfg, params)
+    sharded = Enhancer(cfg, params, mesh=mesh, shard_freq=True)
+    np.testing.assert_allclose(sharded(wav), solo(wav), atol=2e-5,
+                               rtol=0)
+
+    with pytest.raises(ValueError, match="freq"):
+        Enhancer(cfg, params, shard_freq=True)  # no mesh
+    del jax
+
+
 def test_mesh_batch_rejects_mixed_mic_counts(tiny_setup):
     from eabnet_tpu.inference import Enhancer
     from eabnet_tpu.parallel import make_mesh
@@ -74,6 +116,22 @@ def test_mesh_batch_rejects_mixed_mic_counts(tiny_setup):
             np.zeros((4, 4000), np.float32)]
     with pytest.raises(ValueError, match="mic count"):
         meshed.enhance_batch(wavs)
+
+
+def test_mesh_batch_rejects_bad_permutation(tiny_setup):
+    """Mixed-mic batches and out-of-range permutations raise the intended
+    ValueError (mic-count uniformity is validated BEFORE the permutation
+    is applied, so it can't surface as an opaque IndexError)."""
+    from eabnet_tpu.inference import Enhancer
+
+    cfg, params = tiny_setup
+    solo = Enhancer(cfg, params)
+    wavs = [np.zeros((3, 4000), np.float32),
+            np.zeros((4, 4000), np.float32)]
+    with pytest.raises(ValueError, match="mic count"):
+        solo.enhance_batch(wavs, mic_permutation=[0, 1, 2])
+    with pytest.raises(ValueError, match="out of range"):
+        solo.enhance_batch([wavs[0]], mic_permutation=[0, 1, 5])
 
 
 def test_enhance_files_batched(tiny_setup, tmp_path):

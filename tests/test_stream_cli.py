@@ -81,3 +81,62 @@ def test_stream_cli_matches_offline_enhancer(tmp_path, capsys):
     assert corr > 0.99, corr
     ratio = float(np.sqrt(np.mean(a**2) / max(np.mean(b**2), 1e-12)))
     assert 0.8 < ratio < 1.25, ratio
+
+
+@pytest.mark.slow
+def test_stream_cli_directory_multi_stream(tmp_path, capsys):
+    """Directory mode: N concurrent ragged streams served in lockstep
+    from one batched state must each equal their own single-stream run
+    (stream independence at the CLI surface)."""
+    import jax
+
+    from eabnet_tpu.cli import stream as stream_cli
+    from eabnet_tpu.train.checkpoint import save_checkpoint
+    from eabnet_tpu.train.step import create_train_state
+    from eabnet_tpu.utils.audio_io import read_wav, write_wav
+
+    cfg = ExperimentConfig(
+        model=ComposedConfig(
+            eabnet=EaBNetConfig(c=8, M=3, embed_dim=8, cd1=8, p=2, q=1,
+                                norm_type="cLN"),
+            gagnet=GaGNetConfig(c=8, cd1=8, p=1, q=1, dilas=(1, 2),
+                                norm_type="cLN"),
+        ),
+        data=DataConfig(dataset="fake", clip_seconds=0.4, num_workers=0),
+        train=TrainConfig(batch_size=2, wav_len=0.4,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          exp_root=str(tmp_path)),
+    )
+    _, state = create_train_state(cfg, jax.random.key(0))
+    save_checkpoint(state, epoch=0, directory=cfg.train.checkpoint_dir)
+    cfg.save(os.path.join(str(tmp_path), "config.json"))
+
+    rng = np.random.default_rng(4)
+    hop = cfg.stft.hop_samples
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    wavs = {}
+    for name, frames in (("a.wav", 30), ("b.wav", 18)):  # ragged
+        w = (rng.standard_normal((3, hop * frames)) * 0.1).astype(
+            np.float32)
+        write_wav(str(in_dir / name), cfg.stft.sr, w)
+        wavs[name] = w
+
+    stream_cli.main([str(in_dir), str(out_dir),
+                     "--exp-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "2 stream(s)" in out
+
+    # each output equals its own single-stream run
+    for name, w in wavs.items():
+        solo_out = tmp_path / f"solo_{name}"
+        wav_in = tmp_path / f"solo_in_{name}"
+        write_wav(str(wav_in), cfg.stft.sr, w)
+        stream_cli.main([str(wav_in), str(solo_out),
+                         "--exp-root", str(tmp_path)])
+        capsys.readouterr()
+        _, multi = read_wav(str(out_dir / name))
+        _, solo = read_wav(str(solo_out))
+        assert multi.shape == solo.shape
+        np.testing.assert_allclose(multi, solo, atol=2e-5)

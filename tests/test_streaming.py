@@ -73,6 +73,42 @@ def test_streaming_batched():
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_multi_stream_independence():
+    """Serving N concurrent streams from ONE batched state is exactly
+    per-stream serving: the batch dimension never mixes (all ops are
+    batch-parallel), so stream i of a ragged batch — including zero-fed
+    frames past a finished stream's end — equals its own batch-1 run.
+    This is the correctness contract behind `cli.stream <dir>` and the
+    streams/chip capacity benchmark (tools/bench_streaming.py --streams).
+    """
+    cfg = ComposedConfig(
+        eabnet=_eab_cfg("cLN"),
+        gagnet=GaGNetConfig(c=8, cd1=8, p=1, q=1, dilas=(1, 2),
+                            norm_type="cLN"),
+    )
+    rng = np.random.default_rng(33)
+    t = 10
+    x = jnp.asarray(
+        rng.standard_normal((3, t, F, M, 2)).astype(np.float32) * 0.3
+    )
+    # ragged streams: stream 1 "ends" early (zero frames after 6), the
+    # realistic lockstep-serving shape
+    x = x.at[1, 6:].set(0.0)
+
+    model = EaBNetWithPostNet(cfg)
+    params = jax.jit(model.init)(jax.random.key(0), x)["params"]
+    s = StreamingComposed(cfg, params)
+
+    # run() returns the composed esti — its equality implies the whole
+    # chain (beamformer esti0 included, which the post-filter consumes)
+    # is batch-independent end to end
+    batched = np.asarray(s.run(x))
+    for i in range(3):
+        solo = np.asarray(s.run(x[i : i + 1]))
+        np.testing.assert_allclose(batched[i], solo[0], atol=1e-5)
+
+
 def test_streaming_rejects_instance_norm(frames):
     cfg = _eab_cfg("IN")
     with pytest.raises(ValueError, match="cannot stream"):

@@ -27,6 +27,12 @@ def main():
                         "release/experiment dir (the latency quote for "
                         "the model actually deployed) instead of the "
                         "default-config random-init model")
+    parser.add_argument("--streams", default="1",
+                        help="comma-separated concurrent-stream counts "
+                        "(batch sizes of ONE shared state): sweep them "
+                        "in one process and report the largest that "
+                        "still fits the 10 ms hop — the streams/chip "
+                        "capacity number")
     args = parser.parse_args()
 
     import jax
@@ -73,8 +79,6 @@ def main():
     def fetch(x):
         return float(np.asarray(x).ravel()[0])
 
-    fetch(run(frames)[0, 0, 0, 0])  # compile
-
     triv = jax.jit(lambda x: x + 1.0)
     fetch(triv(jnp.ones(1))[0])
     rtts = []
@@ -84,17 +88,31 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fetch(run(frames)[0, 0, 0, 0])
-        ts.append(time.perf_counter() - t0)
-    per_frame = (float(np.median(ts)) - rtt) / t
-    print(
-        f"streaming step ({args.norm}): {per_frame * 1e6:.0f} us/frame "
-        f"(budget 10,000 us/frame at 10 ms hop; "
-        f"{0.01 / per_frame:.1f}x headroom)"
-    )
+    stream_counts = [int(x) for x in args.streams.split(",")]
+    capacity = 0
+    for b in stream_counts:
+        batch = jnp.broadcast_to(frames, (b,) + frames.shape[1:])
+        fetch(run(batch)[0, 0, 0, 0])  # compile this batch size
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fetch(run(batch)[0, 0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        per_frame = (float(np.median(ts)) - rtt) / t
+        fits = per_frame < 0.01
+        if fits:
+            capacity = max(capacity, b)
+        print(
+            f"streaming step ({args.norm}, {b} stream(s)): "
+            f"{per_frame * 1e6:.0f} us/frame "
+            f"({per_frame * 1e6 / b:.0f} us/frame/stream; budget "
+            f"10,000 us at 10 ms hop; "
+            f"{'fits' if fits else 'OVER BUDGET'}, "
+            f"{0.01 / per_frame:.1f}x headroom)"
+        )
+    if len(stream_counts) > 1:
+        print(f"streams/chip capacity (largest swept batch under the "
+              f"hop): {capacity}")
 
 
 if __name__ == "__main__":

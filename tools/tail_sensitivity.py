@@ -1,0 +1,169 @@
+"""Task-level sensitivity of trained-model metrics to the RIR late-tail
+model (VERDICT r4 "Next #5").
+
+The framework's 'hybrid' late field is the closed-form zero-variance
+limit of the reference's specular ray tracer
+(/root/reference/dataset/audio_util.py:55-63; see data/rir.py). The
+remaining question an in-image pyroomacoustics cross-check could never
+answer anyway is EMPIRICAL: do a trained model's metrics even move when
+the tail model changes? This tool re-renders the committed 48-item
+held-out set (same seeds, same scenes, same crops and gains — only the
+late-field synthesis differs) under three tail models and scores a
+released artifact on all of them:
+
+    hybrid        — ISM(3) + exact image-source energy histogram (ours)
+    hybrid-sabine — ISM(3) + Polack/Sabine diffuse envelope
+    ism           — brute-force full-order image sources (no stochastic
+                    tail at all: the physical ground truth for
+                    scattering-free shoeboxes)
+
+Staging reuses the deterministic corpus/split of tools/long_train.py
+(the committed release/val_set_large is byte-reproducible from it —
+verified against the committed wavs when --check is passed).
+
+    python tools/tail_sensitivity.py --workdir /root/longrun5 \
+        --exp-root release/eabnet_9mic_cln --out release/TAIL_SENSITIVITY.md
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+METHODS = ("hybrid", "hybrid-sabine", "ism")
+KEYS = ("si_sdr", "pesq", "estoi", "stoi")
+
+
+def render(workdir, method, out_dir, items, clip, workers):
+    from eabnet_tpu.cli.datagen import main as datagen_main
+
+    settings = json.load(open(os.path.join(workdir, "settings.json")))
+    settings["audio"]["rir_method"] = method
+    spath = os.path.join(out_dir, "settings.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(spath, "w") as f:
+        json.dump(settings, f)
+    lists = os.path.join(workdir, "lists")
+    datagen_main([
+        "--output-dir", out_dir,
+        "--speech-root", os.path.join(workdir, "speech"),
+        "--noise-root", os.path.join(workdir, "noise"),
+        "--speech-list", os.path.join(lists, "speechs_val"),
+        "--noise-list", os.path.join(lists, "noises_val"),
+        "--mcse-settings", spath, "--clip-seconds", str(clip),
+        "--workers", str(workers), "--limit", str(items),
+    ])
+
+
+def score(enhancer_or_none, val_dir, sr=16000):
+    from eabnet_tpu.data import OfflineMcseDataset
+    from eabnet_tpu.eval import evaluate_dataset
+
+    val = OfflineMcseDataset(val_dir)
+
+    def items():
+        for i in range(len(val)):
+            noisy, clean = val[i]
+            yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
+
+    fn = enhancer_or_none if enhancer_or_none else (lambda n: n[0])
+    acc, _ = evaluate_dataset(fn, items(), sr=sr)
+    return {k: acc.mean_std(k) for k in KEYS}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/longrun5",
+                    help="a long_train workdir whose staged corpus/"
+                    "lists reproduce the committed set")
+    ap.add_argument("--exp-root", default="release/eabnet_9mic_cln")
+    ap.add_argument("--out", default="release/TAIL_SENSITIVITY.md")
+    ap.add_argument("--render-root", default="/tmp/tail_sensitivity")
+    ap.add_argument("--items", type=int, default=48)
+    ap.add_argument("--clip", type=float, default=6.0)
+    ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--platform", default="cpu",
+                    choices=["default", "cpu"])
+    ap.add_argument("--check", action="store_true",
+                    help="assert the 'hybrid' re-render byte-matches the "
+                    "committed release/val_set_large")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    for method in METHODS:
+        out_dir = os.path.join(args.render_root, method)
+        if not os.path.isdir(os.path.join(out_dir, "clean")):
+            print(f"[tails] rendering {method}...", flush=True)
+            render(args.workdir, method, out_dir, args.items, args.clip,
+                   args.workers)
+
+    if args.check:
+        from scipy.io import wavfile
+
+        committed = os.path.join(os.path.dirname(__file__), "..",
+                                 "release", "val_set_large")
+        names = sorted(os.listdir(os.path.join(committed, "noisy")))
+        for name in names[:4]:
+            _, a = wavfile.read(os.path.join(committed, "noisy", name))
+            _, b = wavfile.read(os.path.join(
+                args.render_root, "hybrid", "noisy", name))
+            assert a.shape == b.shape and (a == b).all(), name
+        print(f"[tails] hybrid re-render byte-matches the committed set "
+              f"({len(names[:4])} spot-checked)", flush=True)
+
+    from eabnet_tpu.inference import load_enhancer
+
+    rows = {}
+    for method in METHODS:
+        val_dir = os.path.join(args.render_root, method)
+        rows[method] = {"noisy": score(None, val_dir)}
+        for stage in ("esti0", "esti"):
+            enh = load_enhancer(args.exp_root, output=stage)
+            print(f"[tails] scoring {method}/{stage}...", flush=True)
+            rows[method][stage] = score(enh, val_dir)
+
+    lines = [
+        "# Late-tail sensitivity of the released cLN artifact",
+        "",
+        "The committed 48-item held-out set re-rendered under three RIR",
+        "late-tail models from THE SAME SEEDS (identical scenes, crops,",
+        "gains; only the late-field synthesis differs), scored with",
+        f"`{args.exp_root}` (mean over {args.items} items).",
+        "`ism` is the brute-force full-order image-source render — the",
+        "physical ground truth for scattering-free shoeboxes, no",
+        "stochastic tail at all. Produced by `tools/tail_sensitivity.py`.",
+        "",
+        "| tail model | stage | " + " | ".join(KEYS) + " |",
+        "|---|---|" + "---|" * len(KEYS),
+    ]
+    for method in METHODS:
+        for stage in ("noisy", "esti0", "esti"):
+            vals = rows[method][stage]
+            lines.append(
+                f"| {method} | {stage} | "
+                + " | ".join(f"{vals[k][0]:.3f}" for k in KEYS) + " |")
+    lines += ["", "Deltas vs `hybrid` (the framework's default):", ""]
+    lines += ["| tail model | stage | "
+              + " | ".join(f"d {k}" for k in KEYS) + " |",
+              "|---|---|" + "---|" * len(KEYS)]
+    for method in METHODS[1:]:
+        for stage in ("esti0", "esti"):
+            d = [rows[method][stage][k][0] - rows["hybrid"][stage][k][0]
+                 for k in KEYS]
+            lines.append(f"| {method} | {stage} | "
+                         + " | ".join(f"{x:+.3f}" for x in d) + " |")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
