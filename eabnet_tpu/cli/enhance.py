@@ -23,10 +23,13 @@ def main(argv=None):
                         help="esti = composed EaBNet+GaGNet (reference "
                         "enhance.py), esti0 = bare EaBNet beamformer")
     parser.add_argument("--compute-dtype", default="float32",
-                        choices=["float32", "bfloat16"],
+                        choices=["float32", "bfloat16", "int8w"],
                         help="bfloat16 runs the model on the MXU in bf16 "
                         "(front-end/iSTFT stay f32) — the high-throughput "
-                        "serving mode; quality delta vs f32 in ROOFLINE.md")
+                        "serving mode; int8w additionally stores the "
+                        "weights as per-channel int8 in HBM (4x "
+                        "parameter footprint, bf16 compute); quality "
+                        "deltas vs f32 in ROOFLINE.md")
     parser.add_argument("--mesh", action="store_true",
                         help="shard batches over ALL local devices "
                         "(params replicate, batch shards over the "

@@ -70,15 +70,26 @@ class Enhancer:
         if output not in ("esti", "esti0"):
             raise ValueError(f"output must be 'esti' or 'esti0', "
                              f"got {output!r}")
-        if compute_dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"compute_dtype must be 'float32' or "
-                             f"'bfloat16', got {compute_dtype!r}")
+        if compute_dtype not in ("float32", "bfloat16", "int8w"):
+            raise ValueError(f"compute_dtype must be 'float32', "
+                             f"'bfloat16' or 'int8w', "
+                             f"got {compute_dtype!r}")
         self.cfg = cfg
         self.model = build_model(cfg.model)
-        self.params = params
         self.output = output
-        self.compute_dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
-                              else jnp.float32)
+        # int8w: weights-only int8 (per-output-channel symmetric scales)
+        # stored in HBM; dequantized to bf16 inside the jitted program —
+        # 4x parameter footprint cut, quality gated in
+        # tests/test_quantize.py and measured on the released artifact
+        # (ROOFLINE.md)
+        self.int8w = compute_dtype == "int8w"
+        if self.int8w:
+            from eabnet_tpu.utils.quantize import quantize_weights_int8
+
+            params = quantize_weights_int8(params)
+        self.params = params
+        self.compute_dtype = (jnp.float32 if compute_dtype == "float32"
+                              else jnp.bfloat16)
         self.bucket = max(1, int(bucket_seconds * cfg.stft.sr))
         self.mesh = mesh
         self._freq_sharding = None
@@ -114,7 +125,12 @@ class Enhancer:
             # for the iSTFT
             noisy_stft = jax.lax.with_sharding_constraint(
                 noisy_stft, self._freq_sharding)
-        if self.compute_dtype != jnp.float32:
+        if self.int8w:
+            from eabnet_tpu.utils.quantize import dequantize_weights
+
+            params = dequantize_weights(params, self.compute_dtype)
+            noisy_stft = noisy_stft.astype(self.compute_dtype)
+        elif self.compute_dtype != jnp.float32:
             params = jax.tree.map(
                 lambda p: p.astype(self.compute_dtype), params
             )

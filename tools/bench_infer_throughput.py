@@ -30,13 +30,15 @@ def main():
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--compute-dtype", default="float32",
-                    choices=["float32", "bfloat16", "both"],
+                    choices=["float32", "bfloat16", "int8w", "both",
+                             "all"],
                     help="bfloat16 = the high-throughput serving mode "
                     "(model on the MXU in bf16, front-end/iSTFT f32; "
                     "same cast scheme as Enhancer(compute_dtype=...)); "
-                    "'both' interleaves f32 and bf16 arms at every batch "
-                    "size in one process — the fair A/B under chip "
-                    "time-sharing")
+                    "int8w = per-channel int8 weights in HBM, bf16 "
+                    "compute; 'both' interleaves f32 and bf16 arms at "
+                    "every batch size in one process — the fair A/B "
+                    "under chip time-sharing; 'all' adds int8w")
     ap.add_argument("--platform", default="default",
                     choices=["default", "cpu"],
                     help="cpu = force the CPU backend (smoke-testing)")
@@ -76,17 +78,30 @@ def main():
     dummy = jnp.zeros((1, t_frames, cfg.stft.freq_bins, m, 2), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), dummy)
 
-    dtypes = (["float32", "bfloat16"] if args.compute_dtype == "both"
-              else [args.compute_dtype])
+    dtypes = {"both": ["float32", "bfloat16"],
+              "all": ["float32", "bfloat16", "int8w"]}.get(
+        args.compute_dtype, [args.compute_dtype])
+
+    packed = None
+    if "int8w" in dtypes:
+        from eabnet_tpu.utils.quantize import quantize_weights_int8
+
+        packed = jax.device_put(quantize_weights_int8(params))
 
     def make_arm(b, dtype_name):
-        cdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        cdt = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+        int8w = dtype_name == "int8w"
 
         @jax.jit
         def enhance(wav):
             noisy_stft, _ = prepare_data(wav, None, cfg.stft)
             p = params
-            if cdt != jnp.float32:
+            if int8w:
+                from eabnet_tpu.utils.quantize import dequantize_weights
+
+                p = dequantize_weights(packed, cdt)
+                noisy_stft = noisy_stft.astype(cdt)
+            elif cdt != jnp.float32:
                 p = jax.tree.map(lambda x: x.astype(cdt), params)
                 noisy_stft = noisy_stft.astype(cdt)
             out = model.apply(p, noisy_stft)
