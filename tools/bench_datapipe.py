@@ -111,8 +111,23 @@ def main():
                 device_mix_batch(parts[i: i + args.batch])
             t_mix = time.time() - t0
 
+        # scene mode: host emits parameters only (data/scene_mix.py);
+        # RIR reconstruction + propagation live inside the train step,
+        # so the host number IS the loader-supply number
+        from eabnet_tpu.data.scene_mix import synthesize_item_scene
+
+        synthesize_item_scene(**host_args(0))  # warm
+        with ProcessPoolExecutor(args.workers) as pool:
+            t0 = time.time()
+            futs = [pool.submit(synthesize_item_scene, **host_args(i))
+                    for i in range(args.items)]
+            for f in futs:
+                f.result()
+            t_scene = time.time() - t0
+
     host_ips = args.items / t_host
     dev_ips = args.items / (t_parts + t_mix)
+    scene_ips = args.items / t_scene
     step_ms = args.step_ms or (127.0 * args.batch / 8.0)
     demand_ips = args.batch / (step_ms / 1000.0)
     print(f"host pipeline:    {host_ips:7.2f} items/s "
@@ -120,9 +135,13 @@ def main():
     print(f"device-mix:       {dev_ips:7.2f} items/s "
           f"(host parts {args.items / t_parts:.2f}/s + "
           f"device mix {args.items / t_mix:.2f}/s)")
+    print(f"scene params:     {scene_ips:7.2f} items/s "
+          f"(host half of device_mix='scene'; the propagation is fused "
+          f"into the train step)")
     print(f"train-step demand {demand_ips:7.2f} items/s "
           f"(batch {args.batch} @ {step_ms:.0f} ms)")
-    for name, ips in (("host", host_ips), ("device-mix", dev_ips)):
+    for name, ips in (("host", host_ips), ("device-mix", dev_ips),
+                      ("scene", scene_ips)):
         verdict = "keeps up" if ips >= demand_ips else "STARVES the step"
         print(f"  -> {name}: {verdict} ({ips / demand_ips:.2f}x demand)")
 
