@@ -6,10 +6,11 @@ limit of the reference's specular ray tracer
 (/root/reference/dataset/audio_util.py:55-63; see data/rir.py). The
 remaining question an in-image pyroomacoustics cross-check could never
 answer anyway is EMPIRICAL: do a trained model's metrics even move when
-the tail model changes? This tool re-renders the committed 48-item
-held-out set (same seeds, same scenes, same crops and gains — only the
-late-field synthesis differs) under three tail models and scores a
-released artifact on all of them:
+the tail model changes? This tool renders a 48-item seeded held-out set
+from the same scene envelope as the committed set — with IDENTICAL
+scenes, crops and gains ACROSS the three tail models (only the
+late-field synthesis differs, which is the controlled variable the
+study needs) — and scores a released artifact on all of them:
 
     hybrid        — ISM(3) + exact image-source energy histogram (ours)
     hybrid-sabine — ISM(3) + Polack/Sabine diffuse envelope
@@ -143,9 +144,10 @@ def main():
     lines = [
         "# Late-tail sensitivity of the released cLN artifact",
         "",
-        "The committed 48-item held-out set re-rendered under three RIR",
-        "late-tail models from THE SAME SEEDS (identical scenes, crops,",
-        "gains; only the late-field synthesis differs), scored with",
+        "A 48-item seeded held-out set (same scene envelope/settings as",
+        "the committed set) rendered under three RIR late-tail models",
+        "with IDENTICAL scenes, crops and gains across models — only the",
+        "late-field synthesis differs — scored with",
         f"`{args.exp_root}` (mean over {args.items} items).",
         "`ism` is the brute-force full-order image-source render — the",
         "physical ground truth for scattering-free shoeboxes, no",
