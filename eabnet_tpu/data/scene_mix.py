@@ -103,9 +103,13 @@ def scene_static_dims(opt: Dict, clip_seconds: float) -> Dict[str, int]:
             f"scene mode needs integral samples per histogram bin; "
             f"fs={fs} gives {true_spb}")
     spb = int(round(true_spb))
-    # order-3 images live within 5*room_dim per axis of any mic
+    # order-3 image coords span [-5L, 5L] per axis (|2 r L ± src| with
+    # |r| <= 2, src in [0, L]); a mic sits in [0, L], so the worst
+    # image-to-mic distance is ||6 * room_max|| (collate_scenes validates
+    # per batch, so an envelope violation fails loudly instead of
+    # silently clipping far images)
     hi = np.asarray(opt["room"]["max_dim"], np.float64)
-    d_img = float(np.linalg.norm(5.0 * hi))
+    d_img = float(np.linalg.norm(6.0 * hi))
     early_pad = _ceil64(d_img * fs / c + FDL)
     d_direct = float(opt["target"]["dist_to_mic_array"][1]) + 2.0
     l_direct = _ceil64(d_direct * fs / c + FDL)
@@ -249,6 +253,12 @@ def collate_scenes(items: Sequence[Dict], dims: Dict[str, int]
         nbi = it["hist_amp"].shape[2]
         if nbi > nb:
             raise ValueError(f"item has {nbi} hist bins but n_bins={nb}")
+        worst = float(it["delays"].max()) + FDL
+        if "early_pad" in dims and worst > dims["early_pad"]:
+            raise ValueError(
+                f"an image delay ({worst:.0f} samples + filter) exceeds "
+                f"early_pad={dims['early_pad']}; the scene fell outside "
+                "the settings envelope scene_static_dims was built from")
         out["sp_idx"][i] = it["speech_index"]
         out["sp_off"][i] = it["speech_start"]
         nn = len(it["noise_index"])

@@ -152,6 +152,12 @@ def train(cfg: ExperimentConfig, max_steps: Optional[int] = None) -> None:
     if batch_kind == "scene":
         from eabnet_tpu.data.scene_mix import load_corpus_int16
 
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "device_mix='scene' is single-controller for now (the "
+                "replicated corpus is placed with a process-local "
+                "device_put); use device_mix='parts' on multi-process "
+                "meshes")
         fs = int(train_ds.opt["audio"]["fs"])
         corpus = tuple(
             jax.device_put(
