@@ -61,19 +61,27 @@ def render(workdir, method, out_dir, items, clip, workers):
 
 
 def score(enhancer_or_none, val_dir, sr=16000):
+    """Lean per-item scoring (only the table's four metrics — one P.862
+    pass instead of the full battery's two, no seg_snr/lsd — the study
+    runs 6 stages x 48 items x 3 tails on one core)."""
     from eabnet_tpu.data import OfflineMcseDataset
-    from eabnet_tpu.eval import evaluate_dataset
+    from eabnet_tpu.eval.metrics import si_sdr
+    from eabnet_tpu.eval.pesq import pesq as pesq_fn
+    from eabnet_tpu.eval.stoi import stoi
 
     val = OfflineMcseDataset(val_dir)
-
-    def items():
-        for i in range(len(val)):
-            noisy, clean = val[i]
-            yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
-
     fn = enhancer_or_none if enhancer_or_none else (lambda n: n[0])
-    acc, _ = evaluate_dataset(fn, items(), sr=sr)
-    return {k: acc.mean_std(k) for k in KEYS}
+    vals = {k: [] for k in KEYS}
+    for i in range(len(val)):
+        noisy, clean = val[i]
+        clean = np.asarray(clean).reshape(-1)
+        esti = np.asarray(fn(np.atleast_2d(noisy)))
+        vals["si_sdr"].append(si_sdr(clean, esti))
+        vals["pesq"].append(pesq_fn(sr, clean, esti, "wb"))
+        vals["estoi"].append(stoi(clean, esti, sr, extended=True))
+        vals["stoi"].append(stoi(clean, esti, sr))
+    return {k: (float(np.mean(v)), float(np.std(v)))
+            for k, v in vals.items()}
 
 
 def main():
