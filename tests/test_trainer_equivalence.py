@@ -25,6 +25,14 @@ semantics compounds exponentially over steps — 100 steps at lr 5e-4 is a
 sensitive detector (measured drift of the correct pairing stays in the
 1e-3 relative range; a wrong eps placement blows past 10% within tens of
 steps).
+
+Online-path note (round 5): the fused device-mix train steps
+(batch_kind="parts"/"scene", train/step.py) reuse this exact optimizer
+chain unchanged — synthesis happens before the differentiated function,
+and online items are full-clip length by construction
+(load_and_crop pads/crops to clip_seconds), so the loss frame masks are
+all-ones exactly as in the crosswalk row above. No optimizer-semantics
+interaction is introduced by the online data mode.
 """
 
 import os
