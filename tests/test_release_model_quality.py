@@ -18,6 +18,10 @@ import pytest
 REPO = os.path.join(os.path.dirname(__file__), "..")
 RELEASE = os.path.join(REPO, "release", "composed_9mic")
 RELEASE_CLN = os.path.join(REPO, "release", "eabnet_9mic_cln")
+# round-5 flagship: trained on ONLINE scene-parameter synthesis at the
+# production config (pallas LSTM-BF head, batch 16 bf16) — the
+# reference's default data mode (train_zc.sh:27-41)
+RELEASE_ONLINE = os.path.join(REPO, "release", "eabnet_9mic_online")
 VAL = os.path.join(REPO, "release", "val_set_large")
 N_ITEMS = 6
 
@@ -29,8 +33,11 @@ N_ITEMS = 6
      # streaming-capable cLN artifact: both stages — the round-4
      # 50k-step recipe finished with the composed esti beating its own
      # esti0 (release/REPORT_CLN.md)
-     (RELEASE_CLN, "esti0"), (RELEASE_CLN, "esti")],
-    ids=["in-esti0", "in-esti", "cln-esti0", "cln-esti"],
+     (RELEASE_CLN, "esti0"), (RELEASE_CLN, "esti"),
+     # round-5 online-trained flagship (release/REPORT_ONLINE.md)
+     (RELEASE_ONLINE, "esti0"), (RELEASE_ONLINE, "esti")],
+    ids=["in-esti0", "in-esti", "cln-esti0", "cln-esti",
+         "online-esti0", "online-esti"],
 )
 def test_release_model_beats_noisy(release, stage):
     RELEASE = release
