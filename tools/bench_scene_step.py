@@ -42,8 +42,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 
-    import dataclasses
-
     import jax.numpy as jnp
 
     from eabnet_tpu.config import (
@@ -80,7 +78,6 @@ def main():
     rng = np.random.default_rng(0)
 
     model, state = create_train_state(cfg, jax.random.key(0))
-    dataclasses  # silence linters; replace() unused after config build
 
     # --- wav arm ---
     wav_step = make_train_step(cfg, model, donate=False)
