@@ -18,6 +18,7 @@
 set -e
 
 workdir=${1:-/root/longrun5}
+max_steps=${2:-24000}
 
 while :; do
     python tools/long_train.py \
@@ -27,7 +28,7 @@ while :; do
       --bf-impl pallas \
       --norm-type cLN \
       --dtype bfloat16 \
-      --max-steps 24000 \
+      --max-steps "$max_steps" \
       --chunk 3000 \
       --freeze-after 11000 \
       --batch 16 \
