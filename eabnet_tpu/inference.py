@@ -34,7 +34,7 @@ class Enhancer:
     def __init__(self, cfg: ExperimentConfig, params,
                  bucket_seconds: float = 1.0, output: str = "esti",
                  compute_dtype: str = "float32", mesh=None,
-                 shard_freq: bool = False):
+                 shard_freq: bool = False, pad_mode: str = "tail"):
         """``output`` selects the enhancement stage: "esti" = composed
         EaBNet + GaGNet refinement (the reference enhance.py's
         esti_stft), "esti0" = the bare EaBNet beamformer (what the
@@ -70,6 +70,20 @@ class Enhancer:
         if output not in ("esti", "esti0"):
             raise ValueError(f"output must be 'esti' or 'esti0', "
                              f"got {output!r}")
+        # pad_mode "tail" (default): guarantee every item a zero tail of
+        # >= n_fft//2 + 1 samples before bucketing, so per-item outputs
+        # are invariant to how much further batch padding extends them
+        # (see enhance_batch). "reference": add NO tail — items whose
+        # length is already a bucket multiple are featurized bit-
+        # identically to the reference's own eval loop (torch.stft
+        # center/reflect over the unpadded signal, test.py:126-212),
+        # which is what the reference-stack certification requires
+        # (tools/reference_stack_eval.py); the final ~n_fft/2 samples of
+        # an output differ between the two modes.
+        if pad_mode not in ("tail", "reference"):
+            raise ValueError(f"pad_mode must be 'tail' or 'reference', "
+                             f"got {pad_mode!r}")
+        self.pad_mode = pad_mode
         if compute_dtype not in ("float32", "bfloat16", "int8w"):
             raise ValueError(f"compute_dtype must be 'float32', "
                              f"'bfloat16' or 'int8w', "
@@ -186,7 +200,8 @@ class Enhancer:
                     f"{m}-mic input")
             wavs = [w[idx] for w in wavs]
         lengths = [w.shape[-1] for w in wavs]
-        tail = self.cfg.stft.fft_num // 2 + 1
+        tail = (0 if self.pad_mode == "reference"
+                else self.cfg.stft.fft_num // 2 + 1)
         padded = ((max(lengths) + tail + self.bucket - 1)
                   // self.bucket) * self.bucket
         batch = np.stack([

@@ -316,8 +316,13 @@ def run_our_harness(cfg, params, val_set, output):
             noisy, clean = ds[i]
             yield np.atleast_2d(noisy), np.asarray(clean).reshape(-1)
 
-    acc, rows = evaluate_dataset(Enhancer(cfg, params, output=output),
-                                 items(), sr=cfg.stft.sr)
+    # pad_mode="reference": featurize items exactly as the reference's
+    # eval loop does (no appended zero tail), so per-item agreement is
+    # bounded by arithmetic, not by padding semantics — the val items
+    # are whole-second so the solo path adds no padding at all
+    acc, rows = evaluate_dataset(
+        Enhancer(cfg, params, output=output, pad_mode="reference"),
+        items(), sr=cfg.stft.sr)
     return rows
 
 
