@@ -48,11 +48,17 @@ def main(argv=None):
     ap.add_argument("--val", action="append", required=True,
                     help="offline val dir (repeatable)")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--platform", default="cpu",
+                    choices=["cpu", "default"],
+                    help="'default' scores model forwards on the real "
+                    "chip (metrics stay host-side) — the fast path on "
+                    "CPU-starved hosts")
     args = ap.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from eabnet_tpu.config import ExperimentConfig
     from eabnet_tpu.eval.pesq import pesq_backend
